@@ -1,0 +1,184 @@
+"""Streaming HTML tokenizer for the extraction kernel.
+
+The reference parses whole pages with BeautifulSoup
+(/root/reference/src/wikicrawler/core/grabber.py:152). Here documents arrive
+as *interleaved span sequences* — html fragments mixed with pre-resolved
+media and text blocks — so the kernel needs a tokenizer that can:
+
+  * consume html fragments one at a time, in document order,
+  * keep container state across fragments (a ``<div id="mw-content-text">
+    <div class="mw-parser-output">`` opener fragment and its ``</div></div>``
+    closer arrive as separate spans),
+  * hand back fully-parsed *block* elements (``<p>``, headings, tables,
+    toc/references/see-also/catlinks containers) as lightweight trees.
+
+This is intentionally NOT a general HTML5 parser: the grammar is the
+wiki-shaped fixture grammar of FIXTURES.md §1.1 (double-quoted attributes,
+properly nested block elements, each block fully contained in one fragment).
+Correctness against real bs4 semantics is pinned by the golden tests plus the
+independent stdlib-``html.parser`` oracle in ``tests/oracle_extractor.py``.
+
+Pure Python, zero Spark imports — runs inside Arrow-batched
+``mapInPandas`` workers (kernel.py).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+_TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
+_TAG_RE = re.compile(r"^<\s*(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*?)(/?)\s*>$")
+_ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*\"([^\"]*)\"")
+
+_VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input", "wbr"})
+
+_UNESCAPES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),  # last, so &amp;lt; -> &lt; like html.unescape
+)
+
+
+def unescape(text: str) -> str:
+    if "&" not in text:
+        return text
+    for ent, ch in _UNESCAPES:
+        text = text.replace(ent, ch)
+    return text
+
+
+@dataclass
+class Element:
+    """Minimal DOM node: tag, attrs, ordered children (Element | str)."""
+
+    tag: str
+    attrs: dict[str, str] = field(default_factory=dict)
+    children: list = field(default_factory=list)
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    def get_text(self) -> str:
+        """Concatenate all descendant text nodes, no separator — matches
+        bs4 ``Tag.get_text()`` as used at grabber.py:188,220."""
+        out: list[str] = []
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, str):
+                out.append(node)
+            else:
+                stack.extend(reversed(node.children))
+        return "".join(out)
+
+    def find_all(self, tag: str | None = None, *, cls: str | None = None) -> list["Element"]:
+        """Recursive descendant search in document order — matches bs4
+        ``find_all`` traversal order (grabber.py:219,224,292)."""
+        found: list[Element] = []
+        stack = list(reversed(self.children))
+        while stack:
+            node = stack.pop()
+            if isinstance(node, Element):
+                if (tag is None or node.tag == tag) and (cls is None or cls in node.classes):
+                    found.append(node)
+                stack.extend(reversed(node.children))
+        return found
+
+    def find(self, tag: str | None = None, *, cls: str | None = None) -> "Element | None":
+        hits = self.find_all(tag, cls=cls)
+        return hits[0] if hits else None
+
+    def direct_children_tags(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+
+def _parse_attrs(raw: str) -> dict[str, str]:
+    return {k: unescape(v) for k, v in _ATTR_RE.findall(raw)}
+
+
+class StreamParser:
+    """Incremental parser over html fragments of ONE document.
+
+    ``feed(fragment)`` returns the list of block Elements that *completed*
+    at stream top level (depth where their parent is an open container or
+    the document root), each tagged with whether it sits inside the
+    ``.mw-parser-output`` content scope — the reference's boilerplate
+    restriction (grabber.py:214-217: only ``#mw-content-text
+    .mw-parser-output`` children are article content).
+    """
+
+    def __init__(self) -> None:
+        # Open-container stack entries: (tag, attrs, element_or_None).
+        # Containers opened-but-not-closed across fragments carry None
+        # (we never need their subtree, only their identity for scope).
+        self._stack: list[tuple[str, dict[str, str]]] = []
+        # While a block element is being built inside a fragment we keep a
+        # build stack of Elements.
+        self._build: list[Element] = []
+
+    # -- scope predicates ---------------------------------------------------
+
+    @property
+    def in_content_scope(self) -> bool:
+        return any(
+            "mw-parser-output" in e[1].get("class", "").split() for e in self._stack
+        )
+
+    def feed(self, fragment: str) -> list[tuple[Element, bool]]:
+        """Parse one html fragment; return completed top-level blocks as
+        (element, was_in_content_scope) in document order."""
+        blocks: list[tuple[Element, bool]] = []
+        for m in _TOKEN_RE.finditer(fragment):
+            tok = m.group(0)
+            if tok.startswith("<"):
+                if tok.startswith("<!--"):
+                    continue
+                tm = _TAG_RE.match(tok)
+                if not tm:
+                    continue  # malformed tag: ignored (corpus never emits these)
+                closing, tag, rawattrs, selfclose = tm.groups()
+                tag = tag.lower()
+                if closing:
+                    self._close(tag, blocks)
+                elif selfclose or tag in _VOID_TAGS:
+                    el = Element(tag, _parse_attrs(rawattrs))
+                    if self._build:
+                        self._build[-1].children.append(el)
+                    else:
+                        blocks.append((el, self.in_content_scope))
+                else:
+                    el = Element(tag, _parse_attrs(rawattrs))
+                    if self._build:
+                        self._build[-1].children.append(el)
+                    self._build.append(el)
+            else:
+                text = unescape(tok)
+                if self._build:
+                    self._build[-1].children.append(text)
+                # Bare top-level text between blocks is insignificant
+                # whitespace in the fixture grammar; dropped.
+        # Any elements still open at fragment end become cross-fragment
+        # containers (scope markers): move them to the container stack.
+        for el in self._build:
+            self._stack.append((el.tag, el.attrs))
+        self._build = []
+        return blocks
+
+    def _close(self, tag: str, blocks: list[tuple[Element, bool]]) -> None:
+        # Close the innermost matching build element first.
+        for i in range(len(self._build) - 1, -1, -1):
+            if self._build[i].tag == tag:
+                el = self._build[i]
+                del self._build[i:]
+                if not self._build:
+                    blocks.append((el, self.in_content_scope))
+                return
+        # Otherwise this closes a cross-fragment container.
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i][0] == tag:
+                del self._stack[i:]
+                return

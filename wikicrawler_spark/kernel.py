@@ -1,0 +1,310 @@
+"""The vectorized extraction kernel.
+
+One fused, Arrow-batched ``mapInPandas`` stage turns interleaved raw docs
+``(doc_id, spans[kind∈{html,text,media}])`` into extracted span sequences
+``(doc_id, spans[kind∈{title,paragraph,heading,link,media,wikitable,
+see_also,toc,reference,category}])``.
+
+Semantics reimplement the reference extractor (citations are to
+/root/reference/src/wikicrawler/):
+
+  title       core/grabber.py:188   first ``id="firstHeading"`` heading
+  paragraph   core/grabber.py:219-222  every <p> under #mw-content-text
+              .mw-parser-output; keep get_text() unless == '' or '\\n'
+  link        core/grabber.py:224-225  per-<p> anchors with href^='/wiki';
+              text -> 'https://en.wikipedia.org'+href. The reference aborts
+              the whole paragraph loop on an href-less anchor (KeyError
+              caught at :226); we deliberately guard per-anchor instead —
+              divergence documented in FIXTURES.md 'edge_cases'.
+  heading     core/grabber.py:50  header_regex '^h[1-6]$' is declared but
+              never used by the reference; we implement it (north_star
+              names heading extraction): h1-h6 in content scope.
+  media       core/grabber.py:300-348  'a.image' anchors (whole page) plus
+              pre-resolved kind='media' input spans; duplicates kept in
+              document order (reference only skips already-downloaded paths).
+  wikitable   north_star extension (absent from reference): tables with
+              class 'wikitable'; serialized as rows joined by '\\n', cells
+              by ' | '.
+  see_also    core/grabber.py:275-298  FIRST '.div-col' only; anchors with
+              href^='/wiki' AND a title attr (title-less skipped per-anchor).
+  toc         core/grabber.py:231-247  '#toc' first block; each <li><a>
+              label split(' ', 1) -> name; url = page.url + href.
+  reference   core/grabber.py:249-273  FIRST '.references' only; per direct
+              child tag the first 'a.external' (recursive).
+  category    core/seeker.py:19-32  '#catlinks' anchors, title attr -> href.
+  disambig    core/seeker.py:34-47,98-99  if any category title contains
+              'Disambiguation', every content-scope anchor with a title
+              attr and href^='/wiki/' is emitted as a link span
+              (text=title, media_ref=relative href).
+  search      core/seeker.py:49-68  '.mw-search-results' anchors with a
+              title attr and href^='/wiki/' -> link spans, same shape.
+  boilerplate core/grabber.py:214-217 (scope restriction) + an explicit
+              link-density block classifier (readability/Boilerpipe-style):
+              content-scope blocks whose link-text density exceeds
+              LINK_DENSITY_MAX (e.g. navboxes) are dropped from paragraphs.
+
+Canonical output order (SURVEY.md §1.3, pinned by goldens):
+  title, body spans in document order (paragraph [+ its links], heading,
+  media, wikitable, search-result links), disambiguation links, see_also,
+  toc, reference, category. ``offset`` = dense 0-based index — computed
+  here, never inferred from shuffle order.
+
+No per-row Python UDFs: the only JVM↔Python crossing is this kernel's
+Arrow batches.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from .html_tokenizer import Element, StreamParser
+from .latexconv import latex_to_text
+from .schemas import DOC_DDL
+
+WIKI_BASE = "https://en.wikipedia.org"
+
+# Link-density threshold for the explicit boilerplate classifier (E14).
+# A <p> whose anchor text makes up more than this fraction of its total
+# text is treated as navigation boilerplate. The reference achieves the
+# same effect implicitly by scoping to .mw-parser-output; wiki-shaped
+# fixture paragraphs stay far below this, navboxes far above.
+LINK_DENSITY_MAX = 0.8
+
+
+def _anchor_text_len(el: Element) -> int:
+    return sum(len(a.get_text()) for a in el.find_all("a"))
+
+
+def _serialize_wikitable(el: Element) -> str:
+    rows = []
+    for tr in el.find_all("tr"):
+        cells = [c.get_text().strip() for c in tr.find_all(None) if c.tag in ("th", "td")]
+        if cells:
+            rows.append(" | ".join(cells))
+    return "\n".join(rows)
+
+
+def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[dict]:
+    """Extract one document. ``spans`` is an iterable of dicts/Rows with
+    kind/text/media_ref/offset. Pure function — unit-testable without Spark."""
+    parser = StreamParser()
+
+    title: str | None = None
+    body: list[tuple[str, str | None, str | None]] = []  # (kind, text, media_ref)
+    disambig_links: list[tuple[str, str]] = []  # (title_attr, relative href)
+    see_also: list[tuple[str, str]] = []
+    toc: list[tuple[str, str]] = []
+    references: list[tuple[str, str]] = []
+    categories: list[tuple[str, str]] = []
+    seen_divcol = False
+    seen_references = False
+    seen_toc = False
+    seen_catlinks = False
+
+    page_url = WIKI_BASE + "/" + doc_id
+
+    ordered = sorted(spans, key=lambda s: s["offset"] if isinstance(s, dict) else s.offset)
+
+    def _get(s, k):
+        return s[k] if isinstance(s, dict) else getattr(s, k)
+
+    def handle_block(el: Element, in_scope: bool) -> None:
+        nonlocal title, seen_divcol, seen_references, seen_toc, seen_catlinks
+        tag = el.tag
+        attrs = el.attrs
+        el_id = attrs.get("id", "")
+        classes = el.classes
+
+        # title: reference searches the WHOLE page (grabber.py:188).
+        if el_id == "firstHeading":
+            if title is None:
+                title = el.get_text()
+            return
+
+        # media anchors: whole page, document order (grabber.py:320).
+        for a in [el] + el.find_all("a"):
+            if isinstance(a, Element) and a.tag == "a" and "image" in a.classes:
+                href = a.attrs.get("href")
+                if href is not None:
+                    cap = a.get_text()
+                    body.append(("media", cap if cap else None,
+                                 WIKI_BASE + "/" + href.lstrip("/")))
+
+        # catlinks: whole page (seeker.py:27 uses page.find).
+        if not seen_catlinks and el_id == "catlinks" and "catlinks" in classes:
+            seen_catlinks = True
+            for a in el.find_all("a"):
+                t = a.attrs.get("title")
+                href = a.attrs.get("href")
+                if t is not None and href is not None:
+                    categories.append((t, href))
+            return
+
+        if not in_scope:
+            return  # boilerplate: outside #mw-content-text .mw-parser-output
+
+        if tag == "p":
+            text = el.get_text()
+            total = len(text)
+            link_len = _anchor_text_len(el)
+            is_boiler = ("navbox" in classes) or (
+                total > 0 and link_len / total > LINK_DENSITY_MAX
+            )
+            if not is_boiler and text != "" and text != "\n":
+                body.append(("paragraph", latex_to_text(text) if latex else text, None))
+            # Links are collected for EVERY <p>, even text-dropped ones
+            # (grabber.py:224-225 appends per-<p> regardless).
+            if not is_boiler:
+                for a in el.find_all("a"):
+                    href = a.attrs.get("href")
+                    if href is not None and href.startswith("/wiki"):
+                        body.append(("link", a.get_text(), WIKI_BASE + href))
+        elif tag in ("h1", "h2", "h3", "h4", "h5", "h6"):
+            body.append(("heading", el.get_text(), None))
+        elif tag == "table" and "wikitable" in classes:
+            body.append(("wikitable", _serialize_wikitable(el), None))
+        elif el_id == "toc" and not seen_toc:
+            seen_toc = True
+            ul = el.find("ul")
+            if ul is not None:
+                for li in ul.find_all("li"):
+                    a = li.find("a")
+                    if a is None:
+                        continue
+                    label = a.get_text()
+                    parts = label.split(" ", 1)
+                    if len(parts) == 2:
+                        name = parts[1]
+                        href = a.attrs.get("href", "")
+                        toc.append((name, page_url + href))
+        elif "references" in classes and not seen_references:
+            seen_references = True
+            for child in el.direct_children_tags():
+                link = None
+                for a in child.find_all("a"):
+                    if "external" in a.classes:
+                        link = a
+                        break
+                if link is not None and "href" in link.attrs:
+                    references.append((link.get_text(), link.attrs["href"]))
+        elif "div-col" in classes and not seen_divcol:
+            seen_divcol = True
+            for a in el.find_all("a"):
+                href = a.attrs.get("href")
+                if href is not None and href.startswith("/wiki"):
+                    t = a.attrs.get("title")
+                    if t is not None:  # title-less skipped (grabber.py:294-297)
+                        see_also.append((t, WIKI_BASE + href))
+        elif "mw-search-results" in classes:
+            for a in el.find_all("a"):
+                href = a.attrs.get("href")
+                t = a.attrs.get("title")
+                if href is not None and href.startswith("/wiki/") and t is not None:
+                    body.append(("link", t, href))
+        elif "navbox" in classes:
+            pass  # boilerplate block inside scope: dropped
+        else:
+            # Bare in-scope anchors (disambiguation pages list links outside
+            # <p>, seeker.py:40-45) — also anchors nested in unclassified divs.
+            anchors = ([el] if tag == "a" else []) + el.find_all("a")
+            for a in anchors:
+                href = a.attrs.get("href")
+                t = a.attrs.get("title")
+                if href is not None and href.startswith("/wiki/") and t is not None:
+                    disambig_links.append((t, href))
+
+    for s in ordered:
+        kind = _get(s, "kind")
+        if kind == "html":
+            text = _get(s, "text")
+            if text:
+                for el, in_scope in parser.feed(text):
+                    handle_block(el, in_scope)
+        elif kind == "media":
+            ref = _get(s, "media_ref")
+            if ref is not None:
+                cap = _get(s, "text")
+                body.append(("media", cap if cap else None, ref))
+        elif kind == "text":
+            if parser.in_content_scope:
+                text = _get(s, "text") or ""
+                if text != "" and text != "\n":
+                    body.append(("paragraph", latex_to_text(text) if latex else text, None))
+
+    # Disambiguation gate: substring match on category titles
+    # (seeker.py:98-99: any("Disambiguation" in cat for cat in categories)).
+    is_disambig = any("Disambiguation" in t for t, _ in categories)
+
+    out: list[dict] = []
+
+    def emit(kind: str, text: str | None, media_ref: str | None) -> None:
+        out.append({"kind": kind, "text": text, "media_ref": media_ref,
+                    "offset": len(out)})
+
+    if title is not None:
+        emit("title", title, None)
+    for kind, text, ref in body:
+        emit(kind, text, ref)
+    if is_disambig:
+        for t, href in disambig_links:
+            emit("link", t, href)
+    for t, url in see_also:
+        emit("see_also", t, url)
+    for name, url in toc:
+        emit("toc", name, url)
+    for t, href in references:
+        emit("reference", t, href)
+    for t, href in categories:
+        emit("category", t, href)
+    return out
+
+
+def make_extract_kernel(*, latex: bool = False, metrics_dir: str | None = None):
+    """Build the mapInPandas function. One Arrow batch in -> one batch of
+    (doc_id, spans) out. Optional per-partition metrics side-channel (the
+    extract job uses a separate native aggregation instead; this hook exists
+    for spark-submit runs without a metrics pass)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t0 = time.monotonic()
+        n_docs = 0
+        n_spans = 0
+        for pdf in batches:
+            out_spans = [
+                extract_doc(d, s, latex=latex)
+                for d, s in zip(pdf["doc_id"], pdf["spans"])
+            ]
+            n_docs += len(out_spans)
+            n_spans += sum(len(x) for x in out_spans)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "spans": out_spans})
+        if metrics_dir is not None:
+            # best-effort sidecar (exact metrics come from the data path)
+            try:
+                pid = os.getpid()
+                with open(os.path.join(metrics_dir, f"part-{pid}.txt"), "a") as f:
+                    f.write(f"{n_docs}\t{n_spans}\t{int((time.monotonic()-t0)*1000)}\n")
+            except OSError:
+                pass
+
+    return kernel
+
+
+def extract_spans(docs_df, *, latex: bool = False):
+    """DataFrame transform: raw interleaved docs -> extracted span docs.
+
+    ``docs_df``: (doc_id string, spans array<struct<kind,text,media_ref,offset>>).
+    Returns the same shape with output span kinds. Single mapInPandas stage —
+    no shuffle, no per-row Python.
+    """
+    return docs_df.mapInPandas(make_extract_kernel(latex=latex), schema=DOC_DDL)
+
+
+def explode_spans(spans_df):
+    """Nested (doc_id, spans) -> flat span rows, natively (no Python)."""
+    from pyspark.sql import functions as F
+
+    return spans_df.select("doc_id", F.inline("spans"))
