@@ -174,12 +174,13 @@ def oracle_extract(doc_id: str, spans, latex: bool = False) -> list[dict]:
         elif el.tag == "p":
             t = el.text()
             link_len = sum(len(a.text()) for a in el.find_all("a"))
-            boiler = ("navbox" in classes) or (
+            is_nav = "navbox" in classes
+            text_boiler = is_nav or (
                 len(t) > 0 and link_len / len(t) > LINK_DENSITY_MAX
             )
-            if not boiler:
-                if t not in ("", "\n"):
-                    body.append(("paragraph", _latex(t) if latex else t, None))
+            if not text_boiler and t not in ("", "\n"):
+                body.append(("paragraph", _latex(t) if latex else t, None))
+            if not is_nav:
                 for a in el.find_all("a"):
                     href = a.attrs.get("href")
                     if href is not None and href.startswith("/wiki"):

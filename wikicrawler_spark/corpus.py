@@ -320,28 +320,25 @@ def gen_hot_skew(index: int, seed: int = SEED, n_total: int = 10000,
     return _finalize(spans)
 
 
-# link_graph: 100 docs; structure per FIXTURES.md — chain + clique +
-# 2 disconnected + self-loops + duplicate links. Edges are a pure function
-# of the index so tests can compute the BFS closure independently.
-LINK_GRAPH_N = 100
+# link_graph: 40 docs; structure per FIXTURES.md — chain + clique +
+# a disconnected pair + self-loop + duplicate links. Edges are a pure
+# function of the index so tests can compute the BFS closure independently.
+LINK_GRAPH_N = 40
 
 
 def link_graph_edges(index: int) -> list[int]:
     targets: list[int] = []
-    if index < 40:  # chain 0->1->...->40
+    if index < 12:  # chain 0->1->...->12
         targets.append(index + 1)
-    if 40 <= index < 50:  # clique 40..49
-        targets.extend(j for j in range(40, 50) if j != index)
-    if index == 10:
-        targets.append(10)  # self-loop
-        targets.append(11)  # duplicate link (11 already via chain)
-    if index == 50:
-        targets.append(51)  # 50->51 reachable only through clique? no: 41->...
-    # 60..61 disconnected pair (no inbound from 0/1 closure)
-    if index == 60:
-        targets.append(61)
-    if 41 <= index < 50:
-        targets.append(50 + (index - 41))  # clique fans out to 50..58
+    if 12 <= index < 20:  # clique 12..19
+        targets.extend(j for j in range(12, 20) if j != index)
+    if index == 5:
+        targets.append(5)  # self-loop
+        targets.append(6)  # duplicate link (6 already via chain)
+    if 13 <= index < 20:
+        targets.append(20 + (index - 13))  # clique fans out to 20..26
+    if index == 30:  # disconnected pair, unreachable from {0,1}
+        targets.append(31)
     return targets
 
 

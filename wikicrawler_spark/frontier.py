@@ -1,0 +1,230 @@
+"""Iterative bounded-shuffle frontier expansion — the crawl (SURVEY.md §3.3).
+
+Re-expresses the reference's recursive traversal (autosearch chain at
+/root/reference/src/wikicrawler/arbiter/oracle.py:37-66; the depth-first
+``traverse`` stub at core/crawler.py:7-13) as wavewise BFS:
+
+    frontier_0 = seeds
+    wave i: docs ⋈ frontier  ->  extract kernel  ->  link spans
+            -> dropDuplicates -> Bloom-pruned exact anti-join vs visited
+            -> (optional deterministic per-wave cap = "bounded shuffle")
+            -> frontier_{i+1};  visited ∪= frontier_i
+
+Each wave is one batch job; control crosses driver<->cluster once per wave.
+Checkpointing writes wave-numbered parquet directories whose ``_SUCCESS``
+markers emulate Iceberg's atomic snapshot commit (SURVEY §4.2 item 5);
+resume = read the last complete wave and continue. Per-partition lineage
+and metrics are appended per wave.
+
+Scale design notes:
+  * The frontier is usually tiny relative to the corpus -> broadcast-join it
+    into the docs scan (no shuffle of the big side). Above
+    ``broadcast_threshold`` rows it falls back to a shuffle hash join where
+    AQE handles skew splitting.
+  * Hot-article fan-in (10^4 inlinks onto one "List of…" page) is defused
+    BEFORE the anti-join by dropDuplicates on dst (map-side partial
+    aggregation collapses duplicates per partition) and the kernel stage is
+    salted per wave (extract_job.salted_repartition).
+  * The per-wave cap uses sort-limit (deterministic: lowest doc_ids win),
+    NOT a bare LIMIT whose row choice depends on partition order — resume
+    and the two-parallelism bench must see identical waves.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from .extract_job import (
+    anti_join_visited,
+    links_of,
+    partition_metrics,
+    run_extract,
+    salted_repartition,
+)
+from .schemas import LINEAGE_SCHEMA, VISITED_SCHEMA
+
+
+@dataclass
+class CrawlResult:
+    waves: int
+    visited: DataFrame
+    spans: DataFrame | None
+    lineage: DataFrame | None
+    metrics: DataFrame | None
+    wave_sizes: list = field(default_factory=list)
+
+
+def _wave_dir(ckpt_dir: str, wave: int, name: str) -> str:
+    return os.path.join(ckpt_dir, f"wave={wave:05d}", name)
+
+
+def _is_complete(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def last_complete_wave(ckpt_dir: str) -> int:
+    """Highest wave whose post-wave state (next_frontier AND visited)
+    committed — the _SUCCESS pair emulates an atomic snapshot commit."""
+    if not os.path.isdir(ckpt_dir):
+        return -1
+    best = -1
+    for entry in os.listdir(ckpt_dir):
+        if entry.startswith("wave="):
+            w = int(entry.split("=")[1])
+            if _is_complete(_wave_dir(ckpt_dir, w, "next_frontier")) and _is_complete(
+                _wave_dir(ckpt_dir, w, "visited")
+            ):
+                best = max(best, w)
+    return best
+
+
+def crawl(
+    spark,
+    docs: DataFrame,
+    seeds: list[str],
+    *,
+    max_waves: int = 10,
+    per_wave_limit: int | None = None,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
+    use_bloom: bool = True,
+    bloom_fpr: float = 0.01,
+    num_partitions: int | None = None,
+    broadcast_threshold: int = 1_000_000,
+    keep_spans: bool = True,
+    latex: bool = False,
+) -> CrawlResult:
+    """Run the frontier BFS from ``seeds`` over the ``docs`` table.
+
+    Returns visited/spans/lineage/metrics DataFrames (unioned across waves;
+    when ``ckpt_dir`` is set they are re-read from the checkpoint parquet so
+    the logical plan does not grow with wave count).
+    """
+    from .bloom import BloomFilter, build_bloom
+
+    sc = spark.sparkContext
+
+    start_wave = 0
+    spans_parts: list[DataFrame] = []
+    lineage_parts: list[DataFrame] = []
+    metrics_parts: list[DataFrame] = []
+    wave_sizes: list[int] = []
+
+    if resume and ckpt_dir is not None and (lw := last_complete_wave(ckpt_dir)) >= 0:
+        frontier = spark.read.parquet(_wave_dir(ckpt_dir, lw, "next_frontier"))
+        visited = spark.read.parquet(_wave_dir(ckpt_dir, lw, "visited"))
+        start_wave = lw + 1
+        # recover already-committed per-wave outputs so the result is whole
+        for w in range(lw + 1):
+            for name, parts in (("spans", spans_parts), ("lineage", lineage_parts),
+                                ("metrics", metrics_parts)):
+                p = _wave_dir(ckpt_dir, w, name)
+                if _is_complete(p):
+                    if name != "spans" or keep_spans:
+                        parts.append(spark.read.parquet(p))
+    else:
+        frontier = spark.createDataFrame(
+            [(s, None) for s in seeds], "doc_id string, parent_doc_id string"
+        )
+        visited = spark.createDataFrame([], VISITED_SCHEMA)
+
+    for wave in range(start_wave, max_waves):
+        t0 = time.monotonic()
+        n_frontier = frontier.count()
+        wave_sizes.append(n_frontier)
+        if n_frontier == 0:
+            break
+
+        f_ids = frontier.select("doc_id").dropDuplicates()
+        join_side = F.broadcast(f_ids) if n_frontier <= broadcast_threshold else f_ids
+        wave_docs = docs.join(join_side, "doc_id")
+        if num_partitions:
+            wave_docs = salted_repartition(wave_docs, num_partitions, salt=wave)
+
+        spans = run_extract(spark, wave_docs)
+
+        if ckpt_dir is not None:
+            spans_path = _wave_dir(ckpt_dir, wave, "spans")
+            spans.write.mode("overwrite").parquet(spans_path)
+            spans = spark.read.parquet(spans_path)
+        else:
+            # materialize the kernel output once — links_of, metrics and the
+            # returned union all reuse it instead of re-running extraction
+            spans = spans.localCheckpoint(eager=True)
+        if keep_spans:
+            spans_parts.append(spans)
+
+        # next frontier: extracted wikilinks, deduped, minus visited ∪ current
+        links = links_of(spans)  # (src_doc_id, dst_doc_id)
+        candidates = (
+            links.groupBy("dst_doc_id")
+            .agg(F.min("src_doc_id").alias("parent_doc_id"))  # deterministic parent
+            .withColumnRenamed("dst_doc_id", "doc_id")
+        )
+        visited_now = visited.select("doc_id").unionByName(frontier.select("doc_id"))
+
+        bloom = None
+        if use_bloom:
+            # size to everything ever seen (visited ∪ current frontier)
+            bloom = build_bloom(visited_now, "doc_id", max(sum(wave_sizes), 1024), bloom_fpr)
+        nxt = anti_join_visited(candidates, visited_now, bloom=bloom, spark=spark)
+        if per_wave_limit is not None:
+            nxt = nxt.orderBy("doc_id").limit(per_wave_limit)
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        lineage = frontier.select(
+            F.lit(wave).cast("int").alias("wave"),
+            "doc_id",
+            "parent_doc_id",
+            F.spark_partition_id().cast("int").alias("partition_id"),
+            F.current_timestamp().alias("ts"),
+        )
+        metrics = partition_metrics(spans, wave, wall_ms)
+
+        new_visited = visited.unionByName(
+            frontier.select("doc_id", F.lit(wave).cast("int").alias("wave"))
+        )
+
+        if ckpt_dir is not None:
+            # per-wave snapshot commit; lineage/metrics first, then the
+            # (next_frontier, visited) pair whose joint _SUCCESS marks the
+            # wave complete for resume
+            lineage.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "lineage"))
+            lineage = spark.read.parquet(_wave_dir(ckpt_dir, wave, "lineage"))
+            metrics.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "metrics"))
+            metrics = spark.read.parquet(_wave_dir(ckpt_dir, wave, "metrics"))
+            nxt.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
+            nxt = spark.read.parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
+            new_visited.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "visited"))
+            new_visited = spark.read.parquet(_wave_dir(ckpt_dir, wave, "visited"))
+        else:
+            # keep plans bounded without a checkpoint dir
+            nxt = nxt.localCheckpoint(eager=True)
+            new_visited = new_visited.localCheckpoint(eager=True)
+
+        lineage_parts.append(lineage)
+        metrics_parts.append(metrics)
+        visited = new_visited
+        frontier = nxt
+
+    def _union(parts: list[DataFrame]) -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return CrawlResult(
+        waves=len(wave_sizes),
+        visited=visited,
+        spans=_union(spans_parts),
+        lineage=_union(lineage_parts) or spark.createDataFrame([], LINEAGE_SCHEMA),
+        metrics=_union(metrics_parts),
+        wave_sizes=wave_sizes,
+    )

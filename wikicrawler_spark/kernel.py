@@ -151,14 +151,18 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
             text = el.get_text()
             total = len(text)
             link_len = _anchor_text_len(el)
-            is_boiler = ("navbox" in classes) or (
+            # Boilerplate classification (E14): an explicit nav marker kills
+            # the whole block; high link-text density only suppresses the
+            # paragraph TEXT ("List of…" pages are link-dense but their
+            # links still feed the crawl — grabber.py:224-225 collects
+            # paragraph links for EVERY <p> regardless of text).
+            is_nav = "navbox" in classes
+            text_is_boiler = is_nav or (
                 total > 0 and link_len / total > LINK_DENSITY_MAX
             )
-            if not is_boiler and text != "" and text != "\n":
+            if not text_is_boiler and text != "" and text != "\n":
                 body.append(("paragraph", latex_to_text(text) if latex else text, None))
-            # Links are collected for EVERY <p>, even text-dropped ones
-            # (grabber.py:224-225 appends per-<p> regardless).
-            if not is_boiler:
+            if not is_nav:
                 for a in el.find_all("a"):
                     href = a.attrs.get("href")
                     if href is not None and href.startswith("/wiki"):
