@@ -1,0 +1,235 @@
+"""Analytics parity tests (SURVEY.md §5.2 item 3): native Spark operators
+vs independent pure-python references (collections.Counter, hand-rolled
+Dunning LLR, python slicing) and vs DuckDB for jaro-winkler.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import duckdb
+import pytest
+
+from wikicrawler_spark import analytics as A
+from wikicrawler_spark import corpus
+from wikicrawler_spark.kernel import extract_doc
+from wikicrawler_spark.similarity import jaro_winkler, most_similar
+
+
+def py_tokens(body: str) -> list[str]:
+    return re.findall(A.TOKEN_PATTERN, body)
+
+
+def py_filtered(tokens: list[str]) -> list[str]:
+    bl = set(A.BLACKLIST)
+    return [t for t in tokens if t.lower() not in bl and not re.fullmatch(r"[0-9]+", t)]
+
+
+def make_body(family: str, i: int) -> tuple[str, str]:
+    d = corpus.generate_doc(family, i)
+    spans = extract_doc(d["doc_id"], d["spans"])
+    body = "".join(s["text"] for s in spans if s["kind"] == "paragraph")
+    return d["doc_id"], body
+
+
+@pytest.fixture(scope="module")
+def bodies():
+    out = [make_body("basic_article", i) for i in range(4)]
+    out.append(("doc/handmade",
+                "the star cluster is a star cluster. a star cluster shines. "
+                "the giant star cluster is near the star cluster core. 42 stars."))
+    return out
+
+
+@pytest.fixture(scope="module")
+def body_df(spark, bodies):
+    return spark.createDataFrame(bodies, "doc_id string, body string").cache()
+
+
+def test_tokens_and_filter_native_vs_python(spark, body_df, bodies):
+    from pyspark.sql import functions as F
+
+    got = {
+        r["doc_id"]: (list(r["toks"]), list(r["ftoks"]))
+        for r in body_df.select(
+            "doc_id",
+            A.tokens_col(F.col("body")).alias("toks"),
+            A.filtered_tokens_col(A.tokens_col(F.col("body"))).alias("ftoks"),
+        ).collect()
+    }
+    for doc_id, body in bodies:
+        toks = py_tokens(body)
+        assert got[doc_id][0] == toks, doc_id
+        assert got[doc_id][1] == py_filtered(toks), doc_id
+
+
+def test_word_freq_vs_counter(body_df, bodies):
+    freq = A.word_freq(body_df)
+    got = {}
+    for r in freq.collect():
+        got.setdefault(r["doc_id"], {})[r["token"]] = r["cnt"]
+    for doc_id, body in bodies:
+        want = Counter(py_filtered(py_tokens(body)))
+        assert got.get(doc_id, {}) == dict(want), doc_id
+
+
+def test_argmax_freq_vs_python(body_df, bodies):
+    top = {r["doc_id"]: (r["top_token"], r["top_cnt"])
+           for r in A.argmax_freq(A.word_freq(body_df)).collect()}
+    for doc_id, body in bodies:
+        c = Counter(py_filtered(py_tokens(body)))
+        if not c:
+            continue
+        best_cnt = max(c.values())
+        best_tok = min(t for t, n in c.items() if n == best_cnt)
+        assert top[doc_id] == (best_tok, best_cnt), doc_id
+
+
+def py_llr(n_ii, n_ix, n_xi, n_xx):
+    def term(obs, exp):
+        return obs * math.log(obs / exp) if obs > 0 else 0.0
+
+    n_io, n_oi = n_ix - n_ii, n_xi - n_ii
+    n_oo = n_xx - n_ix - n_xi + n_ii
+    return 2.0 * (
+        term(n_ii, n_ix * n_xi / n_xx)
+        + term(n_io, n_ix * (n_xx - n_xi) / n_xx)
+        + term(n_oi, (n_xx - n_ix) * n_xi / n_xx)
+        + term(n_oo, (n_xx - n_ix) * (n_xx - n_xi) / n_xx)
+    )
+
+
+def py_bigrams(body: str, k: int = 15):
+    toks = py_tokens(body)
+    bis = list(zip(toks, toks[1:]))
+    if not bis:
+        return []
+    c = Counter(bis)
+    left = Counter(w1 for w1, _ in bis)
+    right = Counter(w2 for _, w2 in bis)
+    n = len(bis)
+    sw = set(A.ENGLISH_STOPWORDS)
+
+    def ok(w):
+        return len(w) >= 3 and w.lower() not in sw
+
+    scored = [
+        (w1, w2, cnt, py_llr(cnt, left[w1], right[w2], n))
+        for (w1, w2), cnt in c.items()
+        if ok(w1) and ok(w2)
+    ]
+    scored.sort(key=lambda x: (-x[3], x[0], x[1]))
+    return scored[:k]
+
+
+def test_bigram_collocations_vs_python(body_df, bodies):
+    got = {}
+    for r in A.bigram_collocations(body_df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["w1"], r["w2"], r["cnt"], r["llr"])
+        )
+    for doc_id, body in bodies:
+        want = py_bigrams(body)
+        rows = sorted(got.get(doc_id, []))
+        assert len(rows) == len(want), doc_id
+        for (rank, w1, w2, cnt, llr), (pw1, pw2, pcnt, pllr) in zip(rows, want):
+            assert (w1, w2, cnt) == (pw1, pw2, pcnt), doc_id
+            assert abs(llr - pllr) < 1e-9, doc_id
+
+
+def test_trigram_freq_filter(spark):
+    # 'star cluster core' appears 3x -> kept; 'red dwarf star' 2x -> dropped
+    body = ("star cluster core alpha " * 3) + ("red dwarf star beta " * 2)
+    df = spark.createDataFrame([("d", body)], "doc_id string, body string")
+    rows = A.trigram_collocations(df).collect()
+    tris = {(r["w1"], r["w2"], r["w3"]) for r in rows}
+    assert ("star", "cluster", "core") in tris
+    assert ("red", "dwarf", "star") not in tris
+    assert all(r["cnt"] >= 3 for r in rows)
+
+
+def test_collocations_union_shape(body_df):
+    un = A.collocations(body_df).collect()
+    fams = {r["family"] for r in un}
+    assert fams <= {0, 1}
+    assert all(len(r["colloc"]) == 2 for r in un if r["family"] == 0)
+    assert all(len(r["colloc"]) == 3 for r in un if r["family"] == 1)
+
+
+def test_sentence_slices_match_python(spark):
+    sents = [f"Sentence number {i} ends here." for i in range(12)]
+    body = " ".join(sents)
+    df = spark.createDataFrame([("d", body)], "doc_id string, body string")
+    row = A.sentence_slices(df, amount=0.25).collect()[0]
+    n = len(sents)
+    tp = int(0.33 * n)
+    stop = tp + int(0.25 * n)
+    assert list(row["first5"]) == sents[:5]
+    assert list(row["pivot"]) == sents[tp:stop]
+    assert list(row["last5"]) == sents[-5:]
+
+
+def test_markdown_filter(spark):
+    d = corpus.generate_doc("basic_article", 0)
+    spans = extract_doc(d["doc_id"], d["spans"])
+    sdf = spark.createDataFrame(
+        [(d["doc_id"], [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans])],
+        corpus.DOC_SCHEMA,
+    )
+    body = "".join(s["text"] for s in spans if s["kind"] == "paragraph")
+    bdf = spark.createDataFrame([(d["doc_id"], body)], "doc_id string, body string")
+    collocs = A.collocations(bdf)
+    kept = A.markdown_paragraph_filter(sdf, collocs).collect()[0]["kept_paragraphs"]
+    top5 = [
+        " ".join(r["colloc"])
+        for r in collocs.filter("family = 0 and rank <= 5").collect()
+    ]
+    paras = [s["text"] for s in spans if s["kind"] == "paragraph"]
+    want = [p for p in paras if any(t in p for t in top5)]
+    assert list(kept) == want
+
+
+# ------------------------------------------------------------ similarity
+
+JW_CASES = [
+    ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"), ("JELLYFISH", "SMELLYFISH"),
+    ("star cluster", "star luster"), ("abc", "abc"), ("", "x"), ("a", "b"),
+    ("CRATE", "TRACE"), ("DWAYNE", "DUANE"), ("abqqqqqq", "abzzzzzz"),
+    ("ab", "az"), ("abcdefgh", "abzyxwvu"), ("star", "start"),
+]
+
+
+def test_jaro_winkler_matches_duckdb():
+    con = duckdb.connect()
+    for a, b in JW_CASES:
+        want = con.execute("select jaro_winkler_similarity(?, ?)", [a, b]).fetchone()[0]
+        assert abs(jaro_winkler(a, b) - want) < 1e-12, (a, b)
+
+
+def test_most_similar_colloc(spark):
+    rows = [("d1", "star cluster"), ("d1", "giant nebula"), ("d1", "star luster"),
+            ("d2", "alpha beta")]
+    df = spark.createDataFrame(rows, "doc_id string, colloc string")
+    got = {r["doc_id"]: r["best_colloc"]
+           for r in most_similar(df, "colloc", "star cluster").collect()}
+    assert got["d1"] == "star cluster"
+    assert got["d2"] == "alpha beta"
+
+
+# ------------------------------------------------------------ sentiment
+
+def test_sentiment_blend(spark):
+    from wikicrawler_spark.sentiment import blended_word_sentiment, polarity_scores
+
+    df = spark.createDataFrame(
+        [("d", "the radiant star is beautiful")], "doc_id string, sentence string"
+    )
+    rows = blended_word_sentiment(df).collect()
+    assert rows, "no word rows"
+    sent = polarity_scores("the radiant star is beautiful")
+    for r in rows:
+        word = polarity_scores(r["word"])
+        for k in ("neg", "neu", "pos", "compound"):
+            assert abs(r["blended"][k] - (0.5 * sent[k] + 0.5 * word[k])) < 1e-9

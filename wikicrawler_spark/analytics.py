@@ -1,0 +1,325 @@
+"""Text-analytics operators A1-A17 (SURVEY.md §2.3) as composable native
+DataFrame transforms.
+
+The reference computes these per-page with nltk inside the REPL
+(/root/reference/src/wikicrawler/core/sentiment/paragraph.py:67-97). Here
+everything except similarity/sentiment scoring (see similarity.py,
+sentiment.py) is pure Catalyst: higher-order functions on the nested span
+arrays (zero shuffle) for per-doc transforms, hash aggregations + window
+``lead`` for the corpus-shaped n-gram statistics.
+
+Tokenizer parity note (SURVEY §4.3): nltk is not available in this runtime,
+so sentence/word tokenization is a pinned regex spec (documented divergence
+from punkt/Penn-Treebank), implemented with NATIVE regexp functions —
+JVM-side, whole-stage-codegen, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# --------------------------------------------------------------- constants
+
+# Blacklist replicated from the reference (paragraph.py:24-32): punctuation
+# tokens + 41 filler words, matched case-insensitively; numerics dropped too.
+FILLER_WORDS = [
+    "at", "their", "been", "which", "on",
+    "was", "also", "from", "we", "can", "the", "of",
+    "and", "is", "a", "that", "to", "as", "in", "are",
+    "or", "not", "by", "be", "it", "'s", "i", "for",
+    "with", "an", "has", "have", "some", "were", "but",
+    "this", "its", "such", "who", "his", "her",
+]
+PUNCT_TOKENS = ["!", "'", ":", "_", "\\", ",", ".", "(", ")", "{", "}",
+                "``", "''", "[", "]"]
+BLACKLIST = PUNCT_TOKENS + FILLER_WORDS
+
+# Collocation word filter (paragraph.py:77): len(w) < 3 or w in english
+# stopwords. nltk's english stopword list is replicated as data (public
+# corpus); the reference loads it via stopwords.words('english').
+ENGLISH_STOPWORDS = [
+    "i", "me", "my", "myself", "we", "our", "ours", "ourselves", "you",
+    "your", "yours", "yourself", "yourselves", "he", "him", "his",
+    "himself", "she", "her", "hers", "herself", "it", "its", "itself",
+    "they", "them", "their", "theirs", "themselves", "what", "which",
+    "who", "whom", "this", "that", "these", "those", "am", "is", "are",
+    "was", "were", "be", "been", "being", "have", "has", "had", "having",
+    "do", "does", "did", "doing", "a", "an", "the", "and", "but", "if",
+    "or", "because", "as", "until", "while", "of", "at", "by", "for",
+    "with", "about", "against", "between", "into", "through", "during",
+    "before", "after", "above", "below", "to", "from", "up", "down", "in",
+    "out", "on", "off", "over", "under", "again", "further", "then",
+    "once", "here", "there", "when", "where", "why", "how", "all", "any",
+    "both", "each", "few", "more", "most", "other", "some", "such", "no",
+    "nor", "not", "only", "own", "same", "so", "than", "too", "very",
+    "s", "t", "can", "will", "just", "don", "should", "now",
+]
+
+# Pinned tokenizer spec: word = alnum run; everything else non-space is a
+# single-char token (documented divergence from Penn Treebank).
+TOKEN_PATTERN = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
+SENTENCE_SPLIT = "(?<=[.!?])\\s+"
+
+
+# ------------------------------------------------- per-doc transforms (A1-A4)
+
+def paragraphs_col(spans: Column) -> Column:
+    """array<string> of paragraph texts from a nested span array."""
+    return F.transform(
+        F.filter(spans, lambda s: s["kind"] == F.lit("paragraph")),
+        lambda s: s["text"],
+    )
+
+
+def body_col(spans: Column) -> Column:
+    """A1: body = ''.join(paragraphs) (paragraph.py:71) — native, no shuffle."""
+    return F.array_join(paragraphs_col(spans), "")
+
+
+def sentences_col(body: Column) -> Column:
+    """A2: sentence split on terminal punctuation (pinned spec)."""
+    return F.filter(F.split(body, SENTENCE_SPLIT), lambda s: s != F.lit(""))
+
+
+def tokens_col(body: Column) -> Column:
+    """A3: regexp tokenizer (pinned spec), native regexp_extract_all."""
+    return F.regexp_extract_all(body, F.lit(TOKEN_PATTERN), F.lit(0))
+
+
+def filtered_tokens_col(tokens: Column) -> Column:
+    """A4: drop blacklist (case-insensitive) and numeric tokens
+    (paragraph.py:74)."""
+    bl = F.array(*[F.lit(w) for w in BLACKLIST])
+    return F.filter(
+        tokens,
+        lambda t: ~F.array_contains(bl, F.lower(t)) & ~t.rlike("^[0-9]+$"),
+    )
+
+
+def with_body(spans_df: DataFrame) -> DataFrame:
+    """(doc_id, spans) -> + body, sentences, tokens, filtered_tokens."""
+    df = spans_df.withColumn("body", body_col(F.col("spans")))
+    df = df.withColumn("sentences", sentences_col(F.col("body")))
+    df = df.withColumn("tokens", tokens_col(F.col("body")))
+    return df.withColumn("filtered_tokens", filtered_tokens_col(F.col("tokens")))
+
+
+# ------------------------------------------------------- frequencies (A5, A13)
+
+def word_freq(doc_text_df: DataFrame, text_col: str = "body") -> DataFrame:
+    """A5: per-doc token counts after the blacklist filter (FreqDist,
+    paragraph.py:80-81). Hash aggregation with partial+final combine.
+    Returns (doc_id, token, cnt)."""
+    toks = filtered_tokens_col(tokens_col(F.col(text_col)))
+    return (
+        doc_text_df.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def argmax_freq(freq_df: DataFrame) -> DataFrame:
+    """A13: highest-count token per doc (frequency.py:3-14). The reference
+    keeps the first max in dict-insertion order; tie-break here is pinned to
+    lexicographically-smallest token (deterministic under any partitioning).
+    Returns (doc_id, top_token, top_cnt)."""
+    rk = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        freq_df.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") == 1)
+        .select("doc_id", F.col("token").alias("top_token"),
+                F.col("cnt").alias("top_cnt"))
+    )
+
+
+# ------------------------------------------------- collocations (A6-A8)
+
+def _colloc_word_ok(c: Column) -> Column:
+    """apply_word_filter(lambda w: len(w) < 3 or w in stopwords) — keep
+    n-grams where EVERY word passes (paragraph.py:77,85)."""
+    sw = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+    return (F.length(c) >= 3) & ~F.array_contains(sw, F.lower(c))
+
+
+def _llr(n_ii: Column, n_ix: Column, n_xi: Column, n_xx: Column) -> Column:
+    """Dunning log-likelihood ratio over the 2x2 contingency table —
+    2 * sum(obs * ln(obs / exp)) with 0*ln(0)=0 (the bigram
+    likelihood_ratio measure the reference requests at paragraph.py:87).
+    Native arithmetic only."""
+    n_io = n_ix - n_ii          # w1 present, w2 absent
+    n_oi = n_xi - n_ii
+    n_oo = n_xx - n_ix - n_xi + n_ii
+
+    def term(obs: Column, exp: Column) -> Column:
+        return F.when(obs > 0, obs * (F.log(obs) - F.log(exp))).otherwise(F.lit(0.0))
+
+    e_ii = n_ix * n_xi / n_xx
+    e_io = n_ix * (n_xx - n_xi) / n_xx
+    e_oi = (n_xx - n_ix) * n_xi / n_xx
+    e_oo = (n_xx - n_ix) * (n_xx - n_xi) / n_xx
+    return 2.0 * (term(n_ii, e_ii) + term(n_io, e_io) + term(n_oi, e_oi)
+                  + term(n_oo, e_oo))
+
+
+def _positioned_tokens(doc_text_df: DataFrame, text_col: str) -> DataFrame:
+    """(doc_id, pos, token) from UNfiltered tokens (collocations use raw
+    token stream, paragraph.py:84)."""
+    return doc_text_df.select(
+        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token")
+    )
+
+
+def bigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
+                        top_k: int = 15) -> DataFrame:
+    """A6: top-k bigrams per doc by LLR, word-filtered. Window ``lead`` forms
+    the n-grams; hash aggs give contingency counts; rank() <= k per doc.
+    Returns (doc_id, w1, w2, cnt, llr, rank)."""
+    toks = _positioned_tokens(doc_text_df, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = (
+        toks.withColumn("w2", F.lead("token").over(w))
+        .withColumnRenamed("token", "w1")
+        .filter(F.col("w2").isNotNull())
+    )
+    # one shuffle to (doc_id,w1,w2); marginals re-aggregate the MUCH smaller
+    # counts table rather than the raw bigram stream (3x less agg work and
+    # the shared subtree hits ReuseExchange)
+    counts = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
+    tot = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_xx"))
+    left = counts.groupBy("doc_id", "w1").agg(F.sum("cnt").alias("n_ix"))
+    right = counts.groupBy("doc_id", "w2").agg(F.sum("cnt").alias("n_xi"))
+    scored = (
+        counts.join(left, ["doc_id", "w1"])
+        .join(right, ["doc_id", "w2"])
+        .join(tot, "doc_id")
+        .withColumn("llr", _llr(F.col("cnt").cast("double"),
+                                F.col("n_ix").cast("double"),
+                                F.col("n_xi").cast("double"),
+                                F.col("n_xx").cast("double")))
+        .filter(_colloc_word_ok(F.col("w1")) & _colloc_word_ok(F.col("w2")))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("llr").desc(), F.col("w1"), F.col("w2")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "w1", "w2", "cnt", "llr", "rank")
+    )
+
+
+def trigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
+                         top_k: int = 10, min_freq: int = 3) -> DataFrame:
+    """A7: top-k trigrams per doc, freq>=min_freq (apply_freq_filter(3),
+    paragraph.py:92), word-filtered, LLR-scored.
+
+    Scoring divergence (pinned; nltk unavailable): trigram LLR is the
+    Dunning 2x2 LLR of (prefix bigram w1w2, w3) co-occurrence — not nltk's
+    8-cell trigram contingency. Deterministic and SQL-expressible.
+    Returns (doc_id, w1, w2, w3, cnt, llr, rank)."""
+    toks = _positioned_tokens(doc_text_df, text_col)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = (
+        toks.withColumn("w2", F.lead("token", 1).over(w))
+        .withColumn("w3", F.lead("token", 2).over(w))
+        .withColumnRenamed("token", "w1")
+        .filter(F.col("w3").isNotNull())
+    )
+    counts = tri.groupBy("doc_id", "w1", "w2", "w3").agg(F.count("*").alias("cnt"))
+    tot = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_xx"))
+    prefix = counts.groupBy("doc_id", "w1", "w2").agg(F.sum("cnt").alias("n_ix"))
+    last = counts.groupBy("doc_id", "w3").agg(F.sum("cnt").alias("n_xi"))
+    scored = (
+        counts.filter(F.col("cnt") >= min_freq)  # cheap filter BEFORE joins/LLR
+        .join(prefix, ["doc_id", "w1", "w2"])
+        .join(last, ["doc_id", "w3"])
+        .join(tot, "doc_id")
+        .withColumn("llr", _llr(F.col("cnt").cast("double"),
+                                F.col("n_ix").cast("double"),
+                                F.col("n_xi").cast("double"),
+                                F.col("n_xx").cast("double")))
+        .filter(_colloc_word_ok(F.col("w1")) & _colloc_word_ok(F.col("w2"))
+                & _colloc_word_ok(F.col("w3")))
+    )
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("llr").desc(), F.col("w1"), F.col("w2"), F.col("w3")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "w1", "w2", "w3", "cnt", "llr", "rank")
+    )
+
+
+def collocations(doc_text_df: DataFrame, text_col: str = "body") -> DataFrame:
+    """A8: collocs = bigrams + trigrams (ordered concat, paragraph.py:95).
+    Returns (doc_id, colloc array<string>, family, rank) with bigrams first."""
+    bi = bigram_collocations(doc_text_df, text_col).select(
+        "doc_id", F.array("w1", "w2").alias("colloc"),
+        F.lit(0).alias("family"), "rank",
+    )
+    tri = trigram_collocations(doc_text_df, text_col).select(
+        "doc_id", F.array("w1", "w2", "w3").alias("colloc"),
+        F.lit(1).alias("family"), "rank",
+    )
+    return bi.unionByName(tri)
+
+
+# --------------------------------------------- slicing & markdown (A11, A16-17)
+
+def sentence_slices(doc_text_df: DataFrame, amount=0.1) -> DataFrame:
+    """A11: summary slices (paragraph.py:114-132): first 5 sentences, the
+    'pivot' window starting at int(.33*n), and the last 5."""
+    df = doc_text_df.withColumn("sents", sentences_col(F.col("body")))
+    n = F.size("sents")
+    tp_idx = F.floor(n * 0.33).cast("int")
+    if isinstance(amount, float) and amount <= 1.0:
+        tp_len = F.floor(n * amount).cast("int")
+    elif isinstance(amount, int):
+        tp_len = F.lit(amount)
+    else:
+        tp_len = F.lit(10)
+    return df.select(
+        "doc_id",
+        F.slice("sents", 1, 5).alias("first5"),
+        F.slice("sents", tp_idx + 1, tp_len).alias("pivot"),
+        F.when(n <= 5, F.col("sents"))
+        .otherwise(F.expr("slice(sents, -5, 5)")).alias("last5"),
+    )
+
+
+def markdown_paragraph_filter(spans_df: DataFrame, collocs_df: DataFrame) -> DataFrame:
+    """A16: keep paragraphs containing any of the doc's top-5 collocations
+    as a substring (markdown.py:36-39). Broadcast-joins the tiny top-5 set
+    and filters with native HOFs — no UDF.
+    Returns (doc_id, kept_paragraphs array<string>)."""
+    top5 = (
+        collocs_df.filter((F.col("family") == 0) & (F.col("rank") <= 5))
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.array_join("colloc", " ")).alias("top5"))
+    )
+    return (
+        spans_df.withColumn("paragraphs", paragraphs_col(F.col("spans")))
+        .join(F.broadcast(top5), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("top5").isNull(), F.array().cast("array<string>"))
+            .otherwise(
+                F.filter(
+                    "paragraphs",
+                    lambda p: F.exists("top5", lambda c: p.contains(c)),
+                )
+            ).alias("kept_paragraphs"),
+        )
+    )
+
+
+def top5_stats(freq_df: DataFrame) -> DataFrame:
+    """A17: per-doc top-5 tokens by count (markdown.py:42-48 truncation),
+    deterministic tie-break on token."""
+    rk = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        freq_df.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "cnt", "rank")
+    )
