@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship job: the full mapInPandas extraction
+kernel over interleaved docs built from /root/testdata/sf0.001 documents,
+returning the flat span rows.
+
+``queries()`` / ``oracle_sql()`` expose every implemented operator
+(SURVEY.md §2 + the training-data pipeline ops); the SQL-expressible ones
+carry a DuckDB oracle that recomputes the identical result (floats rounded
+before ranking, shared md5-based hash primitive — see
+wikicrawler_spark/queries.py).
 """
 
 from __future__ import annotations
@@ -13,26 +17,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wikicrawler_spark import queries as _q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleaved-doc extraction over sf0.001 — raw docs wrapped
+    from documents.parquet, one fused kernel pass, flat span rows out."""
+    from wikicrawler_spark.kernel import extract_spans, explode_spans
+
+    docs = _q.wrapped_docs(spark, "/root/testdata/sf0.001")
+    return explode_spans(extract_spans(docs))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _q.oracle_sql()

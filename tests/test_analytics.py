@@ -116,7 +116,7 @@ def py_bigrams(body: str, k: int = 15):
         return len(w) >= 3 and w.lower() not in sw
 
     scored = [
-        (w1, w2, cnt, py_llr(cnt, left[w1], right[w2], n))
+        (w1, w2, cnt, round(py_llr(cnt, left[w1], right[w2], n), 6))
         for (w1, w2), cnt in c.items()
         if ok(w1) and ok(w2)
     ]

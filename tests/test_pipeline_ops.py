@@ -1,0 +1,220 @@
+"""Training-data pipeline operator tests: dedup (exact/jaccard/minhash/
+simhash), similarity search (exact + LSH), text quality, multimodal
+plumbing. Python/numpy reimplementations serve as independent references;
+the driver's DuckDB oracle re-verifies the SQL-expressible ones at sf0.01.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from wikicrawler_spark.pipeline import dedup as D
+from wikicrawler_spark.pipeline import multimodal as M
+from wikicrawler_spark.pipeline import simsearch as S
+from wikicrawler_spark.pipeline import text_quality as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .selectExpr("cast(doc_id as string) doc_id", "text").cache()
+
+
+@pytest.fixture(scope="module")
+def near_dup_df(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away into the deep dark forest tonight")
+    rows = [
+        ("d0", base),
+        ("d1", base),  # exact dup of d0
+        ("d2", base.replace("tonight", "today")),      # near dup
+        ("d3", "completely different words about spark shuffle partitions "
+               "and adaptive query execution engines at scale"),
+        ("d4", base.replace("quick", "slow").replace("lazy", "busy")),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def py_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+
+def py_jaccard(a: str, b: str, n: int = 3) -> float:
+    sa, sb = py_shingles(a, n), py_shingles(b, n)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_exact_duplicates(near_dup_df):
+    rows = D.exact_duplicates(near_dup_df).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_docs"] == 2 and rows[0]["keeper"] == "d0"
+
+
+def test_ngram_jaccard_vs_python(near_dup_df):
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(near_dup_df, threshold=0.5).collect()}
+    texts = {r["doc_id"]: r["text"] for r in near_dup_df.collect()}
+    ids = sorted(texts)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = py_jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                want[(a, b)] = round(j, 6)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_minhash_finds_near_dups(near_dup_df):
+    rows = D.minhash_near_duplicates(near_dup_df, threshold=0.5).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in rows}
+    assert ("d0", "d1") in pairs  # exact dup always collides in every band
+    texts = {r["doc_id"]: r["text"] for r in near_dup_df.collect()}
+    for r in rows:  # verified jaccard must equal the exact jaccard
+        assert abs(r["jaccard"] - py_jaccard(texts[r["id_a"]], texts[r["id_b"]])) < 1e-6
+    assert not any("d3" in p for p in pairs)
+
+
+def test_minhash_deterministic(near_dup_df):
+    s1 = {tuple(r["sig"]) for r in D.minhash_signatures(near_dup_df).collect()}
+    s2 = {tuple(r["sig"]) for r in D.minhash_signatures(near_dup_df).collect()}
+    assert s1 == s2
+
+
+def test_simhash_properties(spark, near_dup_df):
+    sh = {r["id"]: r["simhash"] for r in D.simhash(near_dup_df).collect()}
+    assert sh["d0"] == sh["d1"]  # identical text -> identical hash
+    ham_near = bin(sh["d0"] ^ sh["d2"]).count("1")
+    ham_far = bin(sh["d0"] ^ sh["d3"]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_duplicates(near_dup_df, max_hamming=3).collect()}
+    assert pairs.get(("d0", "d1")) == 0
+
+
+def test_simhash_on_real_docs(docs):
+    n = docs.count()
+    got = D.simhash(docs).count()
+    assert got == docs.filter("text rlike '\\\\S'").count() <= n
+
+
+# ------------------------------------------------------------- simsearch
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .selectExpr("cast(vec_id as string) vec_id", "embedding").cache()
+
+
+def test_cosine_topk_vs_numpy(emb):
+    queries = emb.limit(3)
+    got = {}
+    for r in S.cosine_topk(emb, queries, k=5).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos_sim"]))
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    for qid in got:
+        qv = vecs[qid]
+        sims = sorted(
+            ((round(float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv))), 6), nid)
+             for nid, v in vecs.items() if nid != qid),
+            key=lambda x: (-x[0], x[1]),
+        )[:5]
+        want = [(i + 1, nid, s) for i, (s, nid) in enumerate(sims)]
+        assert sorted(got[qid]) == want, qid
+
+
+def test_lsh_topk_recall(emb):
+    queries = emb.limit(5)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.lsh_cosine_topk(emb, queries, k=5, dim=64, n_planes=6, n_tables=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
+    # approx scores must be true cosines (re-ranked exactly)
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["cos_sim"] - ex[key]) < 1e-9
+
+
+# ---------------------------------------------------------- text quality
+
+def test_token_counts_vs_python(docs):
+    import re
+
+    rows = Q.token_counts(docs).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows[:50]:
+        t = texts[r["doc_id"]]
+        assert r["ws_tokens"] == len([x for x in t.lower().split() if x])
+        assert r["bpe_tokens"] == len(re.findall(Q.BPE_ISH_PATTERN, t))
+        assert r["n_chars"] == len(t)
+
+
+def test_quality_scores_bounds(docs):
+    rows = Q.quality_scores(docs).collect()
+    for r in rows:
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["stopword_ratio"] <= 1.0
+
+
+def test_language_id_deterministic_and_sane(spark):
+    rows = [
+        ("e", "the cat is on the mat and it is warm for the season"),
+        ("d", "der hund ist nicht auf dem sofa und die katze ist im garten"),
+        ("f", "le chat est dans la maison et il est pour le moment dans le jardin"),
+        ("s", "el gato es un animal y la casa es para el perro con su comida"),
+        ("z", "中文文本处理引擎测试"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in Q.language_id(df).collect()}
+    assert got == {"e": "en", "d": "de", "f": "fr", "s": "es", "z": "zh"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma"), ("b", "gamma beta alpha"), ("c", "alpha beta gamma")],
+        "doc_id string, text string",
+    )
+    fp = {r["doc_id"]: r["fingerprint"] for r in Q.fingerprint(df).collect()}
+    assert fp["a"] == fp["c"] != fp["b"]
+
+
+# ------------------------------------------------------------ multimodal
+
+def test_multimodal_decode_plumbing(spark):
+    from wikicrawler_spark import corpus
+    from wikicrawler_spark.kernel import extract_spans
+
+    docs = corpus.corpus_df(spark, 20, families=("media_interleaved",))
+    spans = extract_spans(docs)
+    assets = M.media_assets_from_spans(spans, fake_payloads=True)
+    decoded = M.decode_and_featurize(assets, use_fake_codec=True).collect()
+    assert decoded, "no media decoded"
+    for r in decoded:
+        assert r["width"] == 8 and r["height"] == 6
+        assert len(r["feature"]) == 16
+        assert abs(sum(r["feature"]) - 1.0) < 1e-6  # normalized histogram
+    # determinism across runs
+    again = M.decode_and_featurize(assets, use_fake_codec=True).collect()
+    assert sorted(map(str, decoded)) == sorted(map(str, again))
+
+
+def test_multimodal_real_codec_is_marked_stub(spark):
+    from py4j.protocol import Py4JJavaError
+    from wikicrawler_spark import corpus
+    from wikicrawler_spark.kernel import extract_spans
+
+    docs = corpus.corpus_df(spark, 4, families=("media_interleaved",))
+    assets = M.media_assets_from_spans(extract_spans(docs), fake_payloads=True)
+    with pytest.raises(Exception) as ei:
+        M.decode_and_featurize(assets, use_fake_codec=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)

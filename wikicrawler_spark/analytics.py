@@ -192,12 +192,15 @@ def bigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
         counts.join(left, ["doc_id", "w1"])
         .join(right, ["doc_id", "w2"])
         .join(tot, "doc_id")
-        .withColumn("llr", _llr(F.col("cnt").cast("double"),
-                                F.col("n_ix").cast("double"),
-                                F.col("n_xi").cast("double"),
-                                F.col("n_xx").cast("double")))
+        .withColumn("llr", F.round(_llr(F.col("cnt").cast("double"),
+                                        F.col("n_ix").cast("double"),
+                                        F.col("n_xi").cast("double"),
+                                        F.col("n_xx").cast("double")), 6))
         .filter(_colloc_word_ok(F.col("w1")) & _colloc_word_ok(F.col("w2")))
     )
+    # rank over the ROUNDED score: cross-engine (JVM vs C libm) log() can
+    # differ in the last ulp; ranking on rounded values + lexicographic
+    # tie-break is reproducible everywhere (oracle parity)
     rk = Window.partitionBy("doc_id").orderBy(
         F.col("llr").desc(), F.col("w1"), F.col("w2")
     )
@@ -234,10 +237,10 @@ def trigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
         .join(prefix, ["doc_id", "w1", "w2"])
         .join(last, ["doc_id", "w3"])
         .join(tot, "doc_id")
-        .withColumn("llr", _llr(F.col("cnt").cast("double"),
-                                F.col("n_ix").cast("double"),
-                                F.col("n_xi").cast("double"),
-                                F.col("n_xx").cast("double")))
+        .withColumn("llr", F.round(_llr(F.col("cnt").cast("double"),
+                                        F.col("n_ix").cast("double"),
+                                        F.col("n_xi").cast("double"),
+                                        F.col("n_xx").cast("double")), 6))
         .filter(_colloc_word_ok(F.col("w1")) & _colloc_word_ok(F.col("w2"))
                 & _colloc_word_ok(F.col("w3")))
     )

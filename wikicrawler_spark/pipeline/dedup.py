@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Everything here is NATIVE Catalyst — no Python in the data path. The shared
+hash primitive is ``conv(substring(md5(x),1,15),16,10)`` (60-bit int from
+md5), chosen because DuckDB computes the identical value via
+``('0x'||substring(md5(x),1,15))::UBIGINT`` — so the driver's SQL oracle can
+replay every operator bit-for-bit.
+
+Scale notes per operator:
+  exact       one hash-groupBy shuffle; map-side partial agg collapses
+              duplicates early.
+  jaccard     exact pairwise via shingle inverted index (explode +
+              self-join): the candidate join is the O(pairs-sharing-a-
+              shingle) blowup — correct at verification scale, superseded
+              by MinHash-LSH as the generation path at 10^12 docs.
+  minhash     k hash-permutation signature per doc computed as k native MIN
+              aggregations over shingle hashes (one shuffle); LSH banding
+              explodes to (band_idx, band_hash) buckets; only intra-bucket
+              pairs are candidates => join fan-out is bounded by bucket
+              size, the classic Broder/LSH trade.
+  simhash     64 weighted bit-sums per doc (one shuffle), packed to a
+              bigint; near-dup = hamming distance via bit_count(xor) over
+              band-blocked candidates (4x16-bit chunks, pigeonhole: any
+              pair within hamming<=3 shares an identical chunk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# 60-bit md5-derived hash — identical in DuckDB (see module doc)
+def _h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# Minhash permutation modulus: Mersenne-31. With h reduced mod p (< 2^31)
+# and a < 2^31, a*h + b < 2^62 stays exact in long arithmetic — no overflow,
+# and the identical expression is replayable in DuckDB BIGINTs.
+_P31 = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P31) | 1, rng.randrange(_P31)) for _ in range(k)]
+
+
+def word_shingles(text_col, n: int = 3):
+    """Distinct word n-gram shingles of a text column (native). Guarded for
+    short texts: Spark's sequence(0, -k) would DESCEND, so docs with fewer
+    than n tokens yield an empty shingle set explicitly."""
+    toks = F.filter(F.split(F.lower(text_col), "\\s+"), lambda t: t != F.lit(""))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup via content hash. Returns (content_hash, n_docs, keeper)
+    for groups with >1 member; keeper = min id (deterministic)."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
+    Inverted-index self-join; intersection via count, union via sizes.
+    Returns (id_a, id_b, jaccard)."""
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jaccard",
+                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3, k: int = 16,
+                       seed: int = 42) -> DataFrame:
+    """k-permutation MinHash signature per doc, fully native: shingle ->
+    60-bit hash -> k MIN((a_i*h+b_i) mod p) aggregations in ONE shuffle.
+    Returns (id, sig array<bigint> length k)."""
+    params = _perm_params(k, seed)
+    sh = (
+        shingle_table(df, id_col, text_col, n)
+        .withColumn("h", _h60(F.col("shingle")) % F.lit(_P31))
+    )
+    aggs = [
+        F.min((F.lit(ai) * F.col("h") + F.lit(bi)) % F.lit(_P31)).alias(f"m{i}")
+        for i, (ai, bi) in enumerate(params)
+    ]
+    sig = sh.groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_candidates(sig_df: DataFrame, k: int = 16, bands: int = 4) -> DataFrame:
+    """LSH banding: split the k-long signature into ``bands`` rows of r=k/bands
+    values each, hash each band, bucket-join. Returns candidate (id_a, id_b)
+    pairs sharing >=1 band bucket."""
+    assert k % bands == 0, "signature length must divide evenly into bands"
+    r = k // bands
+    band_hashes = F.array(*[
+        F.hash(F.lit(j), *[F.col("sig")[j * r + t] for t in range(r)])
+        for j in range(bands)
+    ])
+    b = sig_df.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))
+    a = b.alias("a")
+    c = b.alias("c")
+    return (
+        a.join(c, (F.col("a.band_idx") == F.col("c.band_idx"))
+               & (F.col("a.band_hash") == F.col("c.band_hash"))
+               & (F.col("a.id") < F.col("c.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("c.id").alias("id_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", n: int = 3, k: int = 16,
+                            bands: int = 4, threshold: float = 0.7,
+                            seed: int = 42) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
+    candidate pairs -> EXACT jaccard verification on candidates only.
+    Returns (id_a, id_b, jaccard >= threshold)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
+    cands = minhash_lsh_candidates(sigs, k, bands)
+    sh = shingle_table(df, id_col, text_col, n)
+    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    verified = (
+        cands.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter")
+                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc (Charikar): token-count weighted bit votes,
+    fully native — 64 conditional SUM aggregations in one shuffle, packed
+    with shiftleft/bitwise-or. Returns (id, simhash bigint)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counted = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
+    hashed = counted.withColumn("h", _h60(F.col("tok")))
+    votes = hashed.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
+                       F.col("w")).otherwise(-F.col("w"))
+            ).alias(f"b{i}")
+            for i in range(60)
+        ]
+    )
+    packed = F.lit(0).cast("long")
+    for i in range(60):
+        packed = packed.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("id", packed.alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dups: block on 4x15-bit chunks (pigeonhole guarantees a
+    shared chunk for hamming<=3), verify with bit_count(xor).
+    Returns (id_a, id_b, hamming <= max_hamming)."""
+    sh = simhash(df, id_col, text_col)
+    chunks = sh.select(
+        "id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 15 * i).bitwiseAND(F.lit((1 << 15) - 1))
+                for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,129 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata.
+
+The decode step itself is STUBBED (image/audio libraries are not in this
+runtime — decode_batch raises NotImplementedError unless the deterministic
+fake codec is requested), but everything Spark-side is real and tested:
+schemas, Arrow batch shapes, mapInPandas signatures, partition sizing.
+A production deployment swaps ``_decode_fake`` for a PIL/libav call — the
+plan shape does not change.
+
+Fake codec format (deterministic, test-only):
+    b"FAKEIMG:<width>,<height>:" + pixel bytes (row-major, 1 byte/px)
+"""
+
+# NOTE: no `from __future__ import annotations` — the pandas_udf below needs
+# real pd.Series type hints, not strings.
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MEDIA_ASSET_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("media_ref", T.StringType(), False),
+    T.StructField("media_kind", T.StringType(), False),  # image|audio|video
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+])
+
+DECODED_DDL = ("doc_id string, media_ref string, width int, height int, "
+               "mean_px double, feature array<float>")
+
+
+def _decode_fake(payload: bytes):
+    if payload is None or not payload.startswith(b"FAKEIMG:"):
+        return None
+    head, px = payload.split(b":", 2)[1:]
+    w, h = (int(x) for x in head.split(b","))
+    arr = np.frombuffer(px, dtype=np.uint8)[: w * h].astype(np.float64)
+    if arr.size < w * h:
+        arr = np.pad(arr, (0, w * h - arr.size))
+    return w, h, arr.reshape(h, w)
+
+
+def make_fake_image(doc_id: str, media_ref: str, w: int = 8, h: int = 6) -> bytes:
+    """Deterministic pixels from the ref string (test corpus helper)."""
+    seed = int.from_bytes(media_ref.encode()[-8:].rjust(8, b"\0"), "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=w * h, dtype=np.uint32).astype(np.uint8)
+    return b"FAKEIMG:%d,%d:" % (w, h) + px.tobytes()
+
+
+def decode_and_featurize(assets: DataFrame, *, feature_dim: int = 16,
+                         use_fake_codec: bool = False) -> DataFrame:
+    """mapInPandas decode + feature extraction. One Arrow batch in, one out;
+    per-batch numpy work, no per-row Python UDFs. Real codecs are not
+    available in this runtime: with use_fake_codec=False this raises
+    NotImplementedError at plan-execution time (clearly-marked stub)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not use_fake_codec:
+                raise NotImplementedError(
+                    "real image decode requires PIL/libav (not in this "
+                    "runtime); pass use_fake_codec=True for the "
+                    "deterministic test codec"
+                )
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
+                                            pdf["payload"]):
+                decoded = _decode_fake(payload)
+                if decoded is None:
+                    continue
+                w, h, img = decoded
+                # deterministic "embedding": histogram projection
+                hist, _ = np.histogram(img, bins=feature_dim, range=(0, 256))
+                feat = (hist / max(img.size, 1)).astype(np.float32)
+                rows.append((doc_id, ref, w, h, float(img.mean()), feat.tolist()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "width", "height",
+                               "mean_px", "feature"],
+            )
+
+    return assets.mapInPandas(op, schema=DECODED_DDL)
+
+
+def resize_stub(assets: DataFrame, w: int, h: int) -> DataFrame:
+    """Plumbing-only resize: passes metadata through, marks target size.
+    Real pixel resampling needs PIL — stubbed per task instructions."""
+    return assets.withColumn(
+        "meta",
+        F.map_concat(
+            F.coalesce(F.col("meta"), F.create_map().cast("map<string,string>")),
+            F.create_map(F.lit("resize_to"), F.lit(f"{w}x{h}")),
+        ),
+    )
+
+
+def media_assets_from_spans(spans_df: DataFrame, *, fake_payloads: bool = False) -> DataFrame:
+    """Lift extracted media spans into the media_assets shape. Payloads stay
+    NULL (media bytes are never fetched in the extract plane — SURVEY S9);
+    the test corpus can inject fake payloads via a deterministic pandas UDF."""
+    assets = (
+        spans_df.select("doc_id", F.inline("spans"))
+        .filter(F.col("kind") == "media")
+        .select(
+            "doc_id",
+            F.col("media_ref"),
+            F.when(F.col("media_ref").rlike("(?i)\\.(png|jpe?g|gif|svg)($|\\?)"),
+                   F.lit("image"))
+            .when(F.col("media_ref").rlike("(?i)\\.(ogg|mp3|wav)($|\\?)"), F.lit("audio"))
+            .when(F.col("media_ref").rlike("(?i)\\.(webm|mp4)($|\\?)"), F.lit("video"))
+            .otherwise(F.lit("image")).alias("media_kind"),
+            F.lit(None).cast("binary").alias("payload"),
+            F.create_map(F.lit("caption"), F.col("text")).alias("meta"),
+        )
+    )
+    if fake_payloads:
+        @F.pandas_udf(T.BinaryType())
+        def fake(doc_ids: pd.Series, refs: pd.Series) -> pd.Series:
+            return pd.Series(
+                [make_fake_image(d, r) for d, r in zip(doc_ids, refs)],
+                dtype=object,
+            )
+
+        assets = assets.withColumn("payload", fake(F.col("doc_id"), F.col("media_ref")))
+    return assets

@@ -1,0 +1,135 @@
+"""Text analysis for corpus curation: language-ID heuristic, quality
+scoring, token counting, document fingerprinting. All 100% native Catalyst
+expressions (whole-stage codegen; replayable in the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword profiles (classic stopword-ratio language-ID
+# heuristic). Deterministic data, not a model.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "of", "and", "to", "in", "is", "that", "it", "was", "for",
+           "on", "are", "as", "with", "his", "they", "at", "be", "this"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+           "nicht", "ein", "eine", "auf", "für", "im", "dem", "sich"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "un", "une", "du",
+           "dans", "que", "qui", "pour", "pas", "sur", "au", "avec"],
+    "es": ["el", "la", "los", "las", "de", "y", "es", "un", "una", "del",
+           "en", "que", "por", "con", "para", "se", "no", "su"],
+    "zh": [],  # no-space script: handled by the CJK-char ratio rule below
+}
+
+# BPE-ish token pattern: word pieces of <=4 chars approximate subword
+# tokenization; pure regex, deterministic.
+BPE_ISH_PATTERN = "[A-Za-z0-9]{1,4}|[^\\sA-Za-z0-9]"
+WORD_PATTERN = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
+
+_FP_P = (1 << 31) - 1
+_FP_B = 1_000_003  # polynomial base (odd prime, fits the mod-31 math)
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count per doc (native)."""
+    return df.select(
+        "doc_id",
+        F.size(_tokens(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col),
+                                    F.lit(BPE_ISH_PATTERN), F.lit(0))).alias("bpe_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features per doc: length, mean word length,
+    punctuation ratio, stopword ratio, uppercase-start ratio, and a
+    composite [0,1] score. Pure column arithmetic."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    en = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
+    stop_ratio = F.when(n_tok > 0,
+                        F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+                        / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        F.length(text_col) > 0,
+        (F.length(text_col)
+         - F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9\\s]", "")))
+        / F.length(text_col),
+    ).otherwise(F.lit(0.0))
+    mean_wlen = F.when(n_tok > 0,
+                       F.aggregate(toks, F.lit(0).cast("long"),
+                                   lambda acc, t: acc + F.length(t)) / n_tok
+                       ).otherwise(F.lit(0.0))
+    # composite: length sweet spot, some stopwords, low punctuation
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    quality = F.round(
+        0.4 * len_score + 0.4 * F.least(stop_ratio * 4, F.lit(1.0))
+        + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID with a CJK-character fast path.
+    Ties break alphabetically (deterministic). Returns (doc_id, lang_guess,
+    lang_score)."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang in sorted(LANG_PROFILES):
+        if lang == "zh":
+            continue
+        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+        scores.append(
+            F.struct(
+                (F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
+                 / n_tok).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # argmax by (score, reverse-alpha) so ties pick alphabetically-first
+    best = F.aggregate(
+        F.array(*scores),
+        scores[0],
+        lambda acc, s: F.when(
+            (s["score"] > acc["score"])
+            | ((s["score"] == acc["score"]) & (s["lang"] < acc["lang"])),
+            s,
+        ).otherwise(acc),
+    )
+    cjk = F.length(F.regexp_replace(F.col(text_col), "[^\\x{4e00}-\\x{9fff}]", ""))
+    cjk_ratio = F.when(F.length(text_col) > 0,
+                       cjk / F.length(text_col)).otherwise(F.lit(0.0))
+    return df.select(
+        "doc_id",
+        F.when(cjk_ratio > 0.3, F.lit("zh")).otherwise(best["lang"]).alias("lang_guess"),
+        F.round(F.when(cjk_ratio > 0.3, cjk_ratio).otherwise(best["score"]), 6)
+        .alias("lang_score"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive rolling (polynomial) hash over whitespace tokens:
+    fp = fold(tokens, 0, (acc, t) -> (acc*B + h60(t)%p) % p). Sequential
+    per row but native (aggregate HOF), one pass, no shuffle. Content moves
+    => fingerprint changes (unlike bag-of-words hashes)."""
+    h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(_FP_P)
+    fp = F.aggregate(
+        _tokens(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(_FP_B) + h(t)) % F.lit(_FP_P),
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -1,0 +1,796 @@
+"""Driver-facing query registry: every operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus, where SQL-expressible, a
+DuckDB oracle that recomputes the identical result from the same parquet
+tables (the driver's correctness gate — see __spark_entry__.py).
+
+Design rules for oracle parity:
+  * shared hash primitive: Spark ``conv(substring(md5(x),1,15),16,10)`` ==
+    DuckDB ``('0x'||substring(md5(x),1,15))::UBIGINT`` (verified identical)
+  * every float is ROUNDED before any ranking; ranks tie-break on key
+    columns — cross-engine libm ulp differences cannot flip results
+  * aggregate/window outputs cast to the same width on both sides
+    (DuckDB row_number()/count are BIGINT; Spark row_number is int)
+
+The kernel-extraction queries run the REAL mapInPandas kernel over docs
+wrapped deterministically from ``documents.text`` (title/heading/paragraph/
+anchor/wikitable markup built with native expressions); the oracle rebuilds
+the expected spans from the raw text with pure SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from . import analytics as A
+from .kernel import extract_spans
+from .pipeline import dedup as D
+from .pipeline import simsearch as S
+from .pipeline import text_quality as Q
+from .similarity import most_similar
+
+WIKI = "https://en.wikipedia.org"
+
+# ---------------------------------------------------------------- helpers
+
+def load(spark, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def wrapped_docs(spark, sf_dir: str) -> DataFrame:
+    """documents.text -> interleaved raw docs, deterministically:
+    h1 title 'Doc <id>', content scope, '<h2>Section <lang></h2>', one <p>
+    with every standalone word 'spark' wrapped in an anchor, a wikitable
+    carrying ``source``, scope close. Pure native expressions."""
+    d = load(spark, sf_dir, "documents")
+    linked = F.regexp_replace(
+        F.col("text"), r"\bspark\b", '<a href="/wiki/Spark">spark</a>'
+    )
+
+    def span(kind, text, off):
+        return F.struct(
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    return d.select(
+        F.concat(F.lit("wiki/doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            span("html", F.concat(F.lit('<h1 id="firstHeading">Doc '),
+                                  F.col("doc_id").cast("string"), F.lit("</h1>")), 0),
+            span("html", F.lit('<div id="mw-content-text"><div class="mw-parser-output">'), 1),
+            span("html", F.concat(F.lit("<h2>Section "), F.col("lang"), F.lit("</h2>")), 2),
+            span("html", F.concat(F.lit("<p>"), linked, F.lit("</p>")), 3),
+            span("html", F.concat(
+                F.lit('<table class="wikitable"><tr><th>k</th></tr><tr><td>'),
+                F.col("source"), F.lit("</td></tr></table>")), 4),
+            span("html", F.lit("</div></div>"), 5),
+        ).alias("spans"),
+    )
+
+
+def _flat(spans_df: DataFrame) -> DataFrame:
+    return spans_df.select("doc_id", F.inline("spans"))
+
+
+def _docs_text(spark, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text")
+    )
+
+
+# SQL fragments shared by several oracles
+_SQL_TOKS = ("list_filter(regexp_split_to_array(lower(text), '\\s+'), "
+             "x -> x <> '')")
+_SQL_H60 = "(('0x' || substring(md5({x}), 1, 15))::UBIGINT)::BIGINT"
+# kernel paragraph-keep rule on wrapped docs: non-empty, not newline, and
+# link-density (5 chars per 'spark' anchor) <= 0.8
+_SQL_NSPARK = "len(list_filter(string_split(text, ' '), x -> x = 'spark'))"
+_SQL_PARA_KEPT = (f"text <> '' and text <> chr(10) and "
+                  f"(length(text) = 0 or 5.0 * {_SQL_NSPARK} / length(text) <= 0.8)")
+
+
+# ---------------------------------------------------------------- queries
+
+def q_extract_titles(spark, sf_dir):
+    return (
+        _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "title")
+        .select("doc_id", F.col("text").alias("title"))
+    )
+
+
+ORACLE_TITLES = """
+SELECT 'wiki/doc_' || doc_id AS doc_id, 'Doc ' || doc_id AS title
+FROM documents
+"""
+
+
+def q_extract_headings(spark, sf_dir):
+    return (
+        _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "heading")
+        .select("doc_id", F.col("text").alias("heading"))
+    )
+
+
+ORACLE_HEADINGS = """
+SELECT 'wiki/doc_' || doc_id AS doc_id, 'Section ' || lang AS heading
+FROM documents
+"""
+
+
+def q_extract_paragraphs(spark, sf_dir):
+    return (
+        _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "paragraph")
+        .select("doc_id", F.col("text").alias("paragraph"))
+    )
+
+
+ORACLE_PARAGRAPHS = f"""
+SELECT 'wiki/doc_' || doc_id AS doc_id, text AS paragraph
+FROM documents WHERE {_SQL_PARA_KEPT}
+"""
+
+
+def q_extract_link_counts(spark, sf_dir):
+    return (
+        _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "link")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_links"),
+             F.min("media_ref").alias("target"))
+    )
+
+
+ORACLE_LINK_COUNTS = f"""
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       {_SQL_NSPARK}::BIGINT AS n_links,
+       'https://en.wikipedia.org/wiki/Spark' AS target
+FROM documents WHERE {_SQL_NSPARK} > 0
+"""
+
+
+def q_extract_wikitables(spark, sf_dir):
+    return (
+        _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "wikitable")
+        .select("doc_id", F.col("text").alias("table_text"))
+    )
+
+
+ORACLE_WIKITABLES = """
+SELECT 'wiki/doc_' || doc_id AS doc_id, 'k' || chr(10) || source AS table_text
+FROM documents
+"""
+
+
+def q_span_offsets_dense(spark, sf_dir):
+    """Offset invariant surfaced as a query: per doc, n_spans and
+    max_offset (must be n_spans-1)."""
+    return (
+        _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_spans"), F.max("offset").alias("max_offset"))
+    )
+
+
+ORACLE_OFFSETS = f"""
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       (2 + (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)
+          + {_SQL_NSPARK} + 1)::BIGINT AS n_spans,
+       (2 + (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)
+          + {_SQL_NSPARK} + 1 - 1)::INT AS max_offset
+FROM documents
+"""
+
+
+def q_word_freq(spark, sf_dir):
+    return A.word_freq(_docs_text(spark, sf_dir), text_col="text")
+
+
+def _sql_blacklist() -> str:
+    parts = []
+    for w in A.BLACKLIST:
+        parts.append("'" + w.replace("'", "''") + "'")
+    return "[" + ", ".join(parts) + "]"
+
+
+ORACLE_WORD_FREQ = f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\s A-Za-z0-9]')) AS token
+  FROM documents
+)
+SELECT doc_id, token, count(*) AS cnt FROM toks
+WHERE NOT list_contains({_sql_blacklist()}, lower(token))
+  AND NOT regexp_full_match(token, '[0-9]+')
+GROUP BY doc_id, token
+"""
+
+
+def q_argmax_freq(spark, sf_dir):
+    return A.argmax_freq(A.word_freq(_docs_text(spark, sf_dir), text_col="text"))
+
+
+ORACLE_ARGMAX_FREQ = f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\s A-Za-z0-9]')) AS token
+  FROM documents
+), freq AS (
+  SELECT doc_id, token, count(*) AS cnt FROM toks
+  WHERE NOT list_contains({_sql_blacklist()}, lower(token))
+    AND NOT regexp_full_match(token, '[0-9]+')
+  GROUP BY doc_id, token
+), ranked AS (
+  SELECT doc_id, token, cnt,
+         row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, token) AS rn
+  FROM freq
+)
+SELECT doc_id, token AS top_token, cnt AS top_cnt FROM ranked WHERE rn = 1
+"""
+
+
+def q_bigram_collocations(spark, sf_dir):
+    return A.bigram_collocations(_docs_text(spark, sf_dir), text_col="text")
+
+
+def _sql_stopwords() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in A.ENGLISH_STOPWORDS) + "]"
+
+
+_SQL_LLR = """
+2.0 * (
+  (CASE WHEN n_ii > 0 THEN n_ii * (ln(n_ii) - ln(n_ix * n_xi / n_xx)) ELSE 0 END) +
+  (CASE WHEN n_ix - n_ii > 0 THEN (n_ix - n_ii) * (ln(n_ix - n_ii) - ln(n_ix * (n_xx - n_xi) / n_xx)) ELSE 0 END) +
+  (CASE WHEN n_xi - n_ii > 0 THEN (n_xi - n_ii) * (ln(n_xi - n_ii) - ln((n_xx - n_ix) * n_xi / n_xx)) ELSE 0 END) +
+  (CASE WHEN n_xx - n_ix - n_xi + n_ii > 0 THEN (n_xx - n_ix - n_xi + n_ii) * (ln(n_xx - n_ix - n_xi + n_ii) - ln((n_xx - n_ix) * (n_xx - n_xi) / n_xx)) ELSE 0 END)
+)"""
+
+
+ORACLE_BIGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         regexp_extract_all(text, '[A-Za-z0-9]+|[^\\s A-Za-z0-9]') AS w
+  FROM documents
+), bi AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(w), 1))) AS g(i)
+), counts AS (
+  SELECT doc_id, w1, w2, count(*)::DOUBLE AS cnt FROM bi GROUP BY 1, 2, 3
+), tot AS (SELECT doc_id, sum(cnt) AS n_xx FROM counts GROUP BY 1),
+lft AS (SELECT doc_id, w1, sum(cnt) AS n_ix FROM counts GROUP BY 1, 2),
+rgt AS (SELECT doc_id, w2, sum(cnt) AS n_xi FROM counts GROUP BY 1, 2),
+scored AS (
+  SELECT c.doc_id, c.w1, c.w2, c.cnt AS n_ii, lft.n_ix, rgt.n_xi, tot.n_xx
+  FROM counts c JOIN lft USING (doc_id, w1) JOIN rgt USING (doc_id, w2)
+  JOIN tot USING (doc_id)
+), llr AS (
+  SELECT doc_id, w1, w2, n_ii::BIGINT AS cnt, round({_SQL_LLR}, 6) AS llr
+  FROM scored
+  WHERE length(w1) >= 3 AND NOT list_contains({_sql_stopwords()}, lower(w1))
+    AND length(w2) >= 3 AND NOT list_contains({_sql_stopwords()}, lower(w2))
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY llr DESC, w1, w2) AS rank
+  FROM llr
+)
+SELECT doc_id, w1, w2, cnt, llr, rank::INT AS rank FROM ranked WHERE rank <= 15
+"""
+
+
+def q_sentence_slices(spark, sf_dir):
+    return A.sentence_slices(
+        _docs_text(spark, sf_dir).withColumnRenamed("text", "body"), amount=0.1
+    )
+
+
+ORACLE_SLICES = """
+SELECT doc_id::VARCHAR AS doc_id,
+       CASE WHEN text = '' THEN [] ELSE [text] END AS first5,
+       []::VARCHAR[] AS pivot,
+       CASE WHEN text = '' THEN [] ELSE [text] END AS last5
+FROM documents
+"""
+
+
+def q_most_similar_token(spark, sf_dir):
+    freq = A.word_freq(_docs_text(spark, sf_dir), text_col="text")
+    return most_similar(freq, "token", "sparkle")
+
+
+ORACLE_MOST_SIMILAR = f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         unnest(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\s A-Za-z0-9]')) AS token
+  FROM documents
+), freq AS (
+  SELECT doc_id, token FROM toks
+  WHERE NOT list_contains({_sql_blacklist()}, lower(token))
+    AND NOT regexp_full_match(token, '[0-9]+')
+  GROUP BY doc_id, token
+), scored AS (
+  SELECT doc_id, token, jaro_winkler_similarity(token, 'sparkle') AS sim
+  FROM freq
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, token) rn
+  FROM scored
+)
+SELECT doc_id, token AS best_token, sim AS best_sim FROM ranked WHERE rn = 1
+"""
+
+
+# ------------------------------------------------------------ dedup family
+
+def q_dedup_exact_prefix(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.substring("text", 1, 30).alias("text"),
+    )
+    return D.exact_duplicates(d)
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(substring(text, 1, 30)) AS content_hash,
+       count(*) AS n_docs, min(doc_id::VARCHAR) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id::VARCHAR AS id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+  FROM toks
+)"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_docs_text(spark, sf_dir), threshold=0.5)
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    sig = D.minhash_signatures(_docs_text(spark, sf_dir), k=8)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        *[F.col("sig")[i].alias(f"m{i}") for i in range(8)],
+    )
+
+
+def _oracle_minhash(k: int = 8) -> str:
+    params = D._perm_params(k)
+    h = _SQL_H60.format(x="shingle")
+    mins = ",\n       ".join(
+        f"min(({a} * ({h} % 2147483647) + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+WITH {_SQL_SHINGLES}
+SELECT id AS doc_id,
+       {mins}
+FROM sh GROUP BY id
+"""
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_docs_text(spark, sf_dir)).withColumnRenamed("id", "doc_id")
+
+
+def _oracle_simhash() -> str:
+    h = _SQL_H60.format(x="tok")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS b{i}"
+        for i in range(60)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counted AS (
+  SELECT id, tok, count(*) AS w FROM toks GROUP BY 1, 2
+), hashed AS (
+  SELECT id, w, {h} AS h FROM counted
+), votes AS (
+  SELECT id, {votes} FROM hashed GROUP BY id
+)
+SELECT id AS doc_id, ({pack})::BIGINT AS simhash FROM votes
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-dups (approximate candidate generation + exact
+    verify). Not SQL-oracled: candidate recall is probabilistic by design;
+    pytest pins its behavior instead."""
+    return D.minhash_near_duplicates(_docs_text(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    sh = D.simhash_near_duplicates(_docs_text(spark, sf_dir), max_hamming=3)
+    return sh.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+def _oracle_simhash_pairs() -> str:
+    h = _SQL_H60.format(x="tok")
+    votes = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN w ELSE -w END) AS b{i}"
+        for i in range(60)
+    )
+    pack = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(60)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), counted AS (
+  SELECT id, tok, count(*) AS w FROM toks GROUP BY 1, 2
+), hashed AS (
+  SELECT id, w, {h} AS h FROM counted
+), votes AS (
+  SELECT id, {votes} FROM hashed GROUP BY id
+), sims AS (
+  SELECT id AS doc_id, ({pack})::BIGINT AS simhash FROM votes
+), chunks AS (
+  SELECT doc_id, simhash, g.i AS chunk_idx,
+         (simhash >> (15 * g.i)) & 32767 AS chunk
+  FROM sims, unnest([0, 1, 2, 3]) AS g(i)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------- similarity search
+
+def q_cosine_topk(spark, sf_dir):
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").cast("long") < 5)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH e AS (SELECT vec_id::VARCHAR AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid::BIGINT < 5),
+pairs AS (
+  SELECT query_id, e.vid AS neighbor_id,
+         round(list_dot_product(qv, e.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))),
+               6) AS cos_sim
+  FROM q, e WHERE e.vid <> query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """Approximate ANN (multi-table hyperplane LSH + exact re-rank).
+    Approximation => no SQL oracle; recall pinned by pytest."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").cast("long") < 5)
+    return S.lsh_cosine_topk(emb, queries, k=5, dim=64, n_planes=6, n_tables=8)
+
+
+# ------------------------------------------------------------- text quality
+
+def q_token_counts(spark, sf_dir):
+    return Q.token_counts(_docs_text(spark, sf_dir))
+
+
+ORACLE_TOKEN_COUNTS = f"""
+SELECT doc_id::VARCHAR AS doc_id,
+       len({_SQL_TOKS})::INT AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}|[^\\s A-Za-z0-9]'))::INT
+         AS bpe_tokens,
+       length(text)::INT AS n_chars
+FROM documents
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    return Q.quality_scores(_docs_text(spark, sf_dir))
+
+
+def _oracle_quality() -> str:
+    en = "[" + ", ".join(f"'{w}'" for w in Q.LANG_PROFILES["en"]) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, {_SQL_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+             ELSE 0 END, 6) AS mean_word_len,
+       round(CASE WHEN length(text) > 0
+             THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / length(text)
+             ELSE 0 END, 6) AS punct_ratio,
+       round(CASE WHEN len(toks) > 0
+             THEN len(list_filter(toks, x -> list_contains({en}, x))) * 1.0 / len(toks)
+             ELSE 0 END, 6) AS stopword_ratio,
+       round(0.4 * least(len(toks) / 50.0, 1.0)
+           + 0.4 * least((CASE WHEN len(toks) > 0
+                 THEN len(list_filter(toks, x -> list_contains({en}, x))) * 1.0 / len(toks)
+                 ELSE 0 END) * 4, 1.0)
+           + 0.2 * (1 - least((CASE WHEN length(text) > 0
+                 THEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))) * 1.0 / length(text)
+                 ELSE 0 END) * 5, 1.0)), 6) AS quality
+FROM t
+"""
+
+
+def q_language_id(spark, sf_dir):
+    return Q.language_id(_docs_text(spark, sf_dir))
+
+
+def _oracle_langid() -> str:
+    selects = []
+    for lang in sorted(Q.LANG_PROFILES):
+        if lang == "zh":
+            continue
+        prof = "[" + ", ".join(f"'{w}'" for w in Q.LANG_PROFILES[lang]) + "]"
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter(toks, x -> list_contains({prof}, x))) * 1.0 "
+            f"/ greatest(len(toks), 1) AS score FROM t"
+        )
+    scored = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH t AS (
+  SELECT doc_id::VARCHAR AS doc_id, text, {_SQL_TOKS} AS toks FROM documents
+), scored AS (
+  {scored}
+), ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) rn
+  FROM scored
+), best AS (SELECT doc_id, lang, score FROM ranked WHERE rn = 1),
+cjk AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         CASE WHEN length(text) > 0
+           THEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 1.0 / length(text)
+           ELSE 0 END AS cjk_ratio
+  FROM documents
+)
+SELECT b.doc_id,
+       CASE WHEN c.cjk_ratio > 0.3 THEN 'zh' ELSE b.lang END AS lang_guess,
+       round(CASE WHEN c.cjk_ratio > 0.3 THEN c.cjk_ratio ELSE b.score END, 6)
+         AS lang_score
+FROM best b JOIN cjk c USING (doc_id)
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return Q.fingerprint(_docs_text(spark, sf_dir))
+
+
+ORACLE_FINGERPRINT = f"""
+SELECT doc_id::VARCHAR AS doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+           list_transform({_SQL_TOKS},
+                          t -> {_SQL_H60.format(x='t')} % 2147483647)),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647
+       ) AS fingerprint
+FROM documents
+"""
+
+
+# ------------------------------------------------------------- relational
+
+def q_tpch_q1(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        # o_totalprice passes through unchanged: same parquet doubles on
+        # both engines, bit-identical — no rounding needed
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+ORACLE_TOP_ORDERS = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, o_totalprice, rank::INT AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_orders_by_nation(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+ORACLE_ORDERS_BY_NATION = """
+SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization: new session when gap > 30 min per user (window lag +
+    cumulative sum) — the classic streaming-adjacent batch pattern. Gaps
+    compared in integer MICROSECONDS so both engines see identical values."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))  # ts is NTZ; session TZ is UTC
+    prev = F.lag(micros).over(w)
+    new_sess = F.when(
+        prev.isNull() | (micros - prev > 1_800_000_000), 1
+    ).otherwise(0)
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_id
+"""
+
+
+# ------------------------------------------------------------- registry
+
+def queries() -> dict:
+    return {
+        "extract_titles": q_extract_titles,
+        "extract_headings": q_extract_headings,
+        "extract_paragraphs": q_extract_paragraphs,
+        "extract_link_counts": q_extract_link_counts,
+        "extract_wikitables": q_extract_wikitables,
+        "span_offsets_dense": q_span_offsets_dense,
+        "word_freq": q_word_freq,
+        "argmax_freq": q_argmax_freq,
+        "bigram_collocations": q_bigram_collocations,
+        "sentence_slices": q_sentence_slices,
+        "most_similar_token": q_most_similar_token,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "token_counts": q_token_counts,
+        "quality_scores": q_quality_scores,
+        "language_id": q_language_id,
+        "fingerprint": q_fingerprint,
+        "tpch_q1": q_tpch_q1,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "orders_by_nation": q_orders_by_nation,
+        "events_sessionize": q_events_sessionize,
+    }
+
+
+def oracle_sql() -> dict:
+    return {
+        "extract_titles": ORACLE_TITLES,
+        "extract_headings": ORACLE_HEADINGS,
+        "extract_paragraphs": ORACLE_PARAGRAPHS,
+        "extract_link_counts": ORACLE_LINK_COUNTS,
+        "extract_wikitables": ORACLE_WIKITABLES,
+        "span_offsets_dense": ORACLE_OFFSETS,
+        "word_freq": ORACLE_WORD_FREQ,
+        "argmax_freq": ORACLE_ARGMAX_FREQ,
+        "bigram_collocations": ORACLE_BIGRAMS,
+        "sentence_slices": ORACLE_SLICES,
+        "most_similar_token": ORACLE_MOST_SIMILAR,
+        "dedup_exact_prefix": ORACLE_DEDUP_EXACT,
+        "ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "minhash_signatures": _oracle_minhash(8),
+        "simhash": _oracle_simhash(),
+        "simhash_near_dups": _oracle_simhash_pairs(),
+        "cosine_topk": ORACLE_COSINE_TOPK,
+        "token_counts": ORACLE_TOKEN_COUNTS,
+        "quality_scores": _oracle_quality(),
+        "language_id": _oracle_langid(),
+        "fingerprint": ORACLE_FINGERPRINT,
+        "tpch_q1": ORACLE_TPCH_Q1,
+        "top_orders_per_customer": ORACLE_TOP_ORDERS,
+        "orders_by_nation": ORACLE_ORDERS_BY_NATION,
+        "events_sessionize": ORACLE_SESSIONIZE,
+        # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
+        # sentence_slices included above; events sessionization omitted until
+        # its oracle is finished
+    }
