@@ -65,7 +65,10 @@ def wrapped_docs(spark, sf_dir: str) -> DataFrame:
             span("html", F.concat(
                 F.lit('<table class="wikitable"><tr><th>k</th></tr><tr><td>'),
                 F.col("source"), F.lit("</td></tr></table>")), 4),
-            span("html", F.lit("</div></div>"), 5),
+            span("html", F.concat(
+                F.lit('<a class="image" href="/wiki/File:Img_'),
+                F.col("doc_id").cast("string"), F.lit('.jpg">img</a>')), 5),
+            span("html", F.lit("</div></div>"), 6),
         ).alias("spans"),
     )
 
@@ -177,14 +180,76 @@ def q_span_offsets_dense(spark, sf_dir):
     )
 
 
+# spans per wrapped doc: title + heading + paragraph? + links + wikitable
+# + media (the a.image anchor)
 ORACLE_OFFSETS = f"""
 SELECT 'wiki/doc_' || doc_id AS doc_id,
        (2 + (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)
-          + {_SQL_NSPARK} + 1)::BIGINT AS n_spans,
+          + {_SQL_NSPARK} + 2)::BIGINT AS n_spans,
        (2 + (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)
-          + {_SQL_NSPARK} + 1 - 1)::INT AS max_offset
+          + {_SQL_NSPARK} + 2 - 1)::INT AS max_offset
 FROM documents
 """
+
+
+def q_media_manifest(spark, sf_dir):
+    from .sinks import media_manifest
+
+    return media_manifest(extract_spans(wrapped_docs(spark, sf_dir))) \
+        .select("doc_id", "media_ref")
+
+
+ORACLE_MEDIA_MANIFEST = """
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'https://en.wikipedia.org/wiki/File:Img_' || doc_id || '.jpg' AS media_ref
+FROM documents
+"""
+
+
+def q_page_view_scalars(spark, sf_dir):
+    """page_view flattened to oracle-comparable scalars."""
+    from .page_view import page_view
+
+    pv = page_view(extract_spans(wrapped_docs(spark, sf_dir)))
+    return pv.select(
+        "doc_id", "url", "title",
+        F.size("paragraphs").alias("n_paragraphs"),
+        F.size("paragraph_links").alias("n_links"),
+        F.size("media").alias("n_media"),
+    )
+
+
+ORACLE_PAGE_VIEW = f"""
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'https://en.wikipedia.org/wiki/doc_' || doc_id AS url,
+       'Doc ' || doc_id AS title,
+       (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)::INT AS n_paragraphs,
+       {_SQL_NSPARK}::INT AS n_links,
+       1 AS n_media
+FROM documents
+"""
+
+
+def q_search_direct(spark, sf_dir):
+    """End-to-end search routing (T1): exact-title hit -> direct article."""
+    from .traversal import search
+
+    return search(extract_spans(wrapped_docs(spark, sf_dir)), "Doc 42")
+
+
+ORACLE_SEARCH_DIRECT = """
+SELECT 1 AS rank, 'wiki/doc_' || doc_id AS doc_id, 'Doc 42' AS title,
+       'direct' AS via
+FROM documents WHERE doc_id = 42
+"""
+
+
+def q_markdown_docs(spark, sf_dir):
+    """Markdown sink content (S10) — rows-only (string assembly of ranked
+    stats; pinned by pytest instead of SQL)."""
+    from .sinks import markdown_doc
+
+    return markdown_doc(extract_spans(wrapped_docs(spark, sf_dir)))
 
 
 def q_word_freq(spark, sf_dir):
@@ -739,6 +804,10 @@ def queries() -> dict:
         "extract_link_counts": q_extract_link_counts,
         "extract_wikitables": q_extract_wikitables,
         "span_offsets_dense": q_span_offsets_dense,
+        "media_manifest": q_media_manifest,
+        "page_view": q_page_view_scalars,
+        "search_direct": q_search_direct,
+        "markdown_docs": q_markdown_docs,
         "word_freq": q_word_freq,
         "argmax_freq": q_argmax_freq,
         "bigram_collocations": q_bigram_collocations,
@@ -771,6 +840,9 @@ def oracle_sql() -> dict:
         "extract_link_counts": ORACLE_LINK_COUNTS,
         "extract_wikitables": ORACLE_WIKITABLES,
         "span_offsets_dense": ORACLE_OFFSETS,
+        "media_manifest": ORACLE_MEDIA_MANIFEST,
+        "page_view": ORACLE_PAGE_VIEW,
+        "search_direct": ORACLE_SEARCH_DIRECT,
         "word_freq": ORACLE_WORD_FREQ,
         "argmax_freq": ORACLE_ARGMAX_FREQ,
         "bigram_collocations": ORACLE_BIGRAMS,
