@@ -1,0 +1,90 @@
+"""Property-based kernel invariants (SURVEY.md §5.2 item 5) — pure-python
+``extract_doc`` (the exact function the mapInPandas kernel runs), so
+hypothesis can explore thousands of documents without Spark overhead.
+
+Invariants:
+  * never crashes, on fixture-grammar docs OR on hostile random markup
+  * offsets are dense 0..n-1
+  * every link/see_also span's media_ref is an absolute wiki URL
+  * deterministic (same input -> same output), input-span-offset driven
+    (shuffling the input array order does not change output)
+  * output kinds ⊆ the declared vocabulary
+"""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings, strategies as st
+
+from wikicrawler_spark import corpus
+from wikicrawler_spark.kernel import extract_doc
+from wikicrawler_spark.schemas import OUTPUT_KINDS
+
+FAMS = st.sampled_from([f for f in corpus.FAMILIES if f != "link_graph"])
+
+
+@given(family=FAMS, index=st.integers(0, 500), seed=st.integers(0, 10))
+@settings(max_examples=120, deadline=None)
+def test_fixture_docs_invariants(family, index, seed):
+    doc = corpus.generate_doc(family, index, seed=seed, n_total=1000)
+    out = extract_doc(doc["doc_id"], doc["spans"])
+    assert [s["offset"] for s in out] == list(range(len(out)))
+    for s in out:
+        assert s["kind"] in OUTPUT_KINDS
+        if s["kind"] == "link" and s["media_ref"] and s["media_ref"].startswith("http"):
+            assert s["media_ref"].startswith("https://en.wikipedia.org/wiki")
+        if s["kind"] == "see_also":
+            assert s["media_ref"].startswith("https://en.wikipedia.org/wiki")
+    # deterministic
+    assert out == extract_doc(doc["doc_id"], doc["spans"])
+
+
+@given(family=FAMS, index=st.integers(0, 100), shuffle_seed=st.integers(0, 99))
+@settings(max_examples=60, deadline=None)
+def test_input_order_comes_from_offsets(family, index, shuffle_seed):
+    doc = corpus.generate_doc(family, index, n_total=200)
+    base = extract_doc(doc["doc_id"], doc["spans"])
+    shuffled = list(doc["spans"])
+    random.Random(shuffle_seed).shuffle(shuffled)
+    assert extract_doc(doc["doc_id"], shuffled) == base
+
+
+_tag = st.sampled_from(["p", "div", "a", "h2", "span", "table", "li", "x"])
+_word = st.text(alphabet="abcdef <>&\"'/=", min_size=0, max_size=12)
+
+
+@st.composite
+def hostile_fragment(draw):
+    parts = []
+    for _ in range(draw(st.integers(1, 6))):
+        kind = draw(st.integers(0, 3))
+        t = draw(_tag)
+        if kind == 0:
+            parts.append(f"<{t}>")
+        elif kind == 1:
+            parts.append(f"</{t}>")
+        elif kind == 2:
+            parts.append(draw(_word))
+        else:
+            parts.append(f'<{t} href="{draw(_word)}" class="{draw(_word)}">')
+    return "".join(parts)
+
+
+@given(frags=st.lists(hostile_fragment(), min_size=0, max_size=8),
+       data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_hostile_markup_never_crashes(frags, data):
+    spans = []
+    for i, f in enumerate(frags):
+        kind = data.draw(st.sampled_from(["html", "text", "media"]))
+        spans.append({
+            "kind": kind,
+            "text": f if kind != "media" else None,
+            "media_ref": "https://x/y.png" if kind == "media" else None,
+            "offset": i,
+        })
+    out = extract_doc("wiki/hostile", spans)
+    assert [s["offset"] for s in out] == list(range(len(out)))
+    assert all(s["kind"] in OUTPUT_KINDS for s in out)
+    assert out == extract_doc("wiki/hostile", spans)

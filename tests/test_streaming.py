@@ -1,0 +1,54 @@
+"""Streaming extraction tests: exactly-once equality with the batch path,
+incremental processing of newly-arrived files, checkpointed resume."""
+
+from __future__ import annotations
+
+from wikicrawler_spark import corpus
+from wikicrawler_spark.kernel import extract_spans
+from wikicrawler_spark.streaming import stream_extract
+
+
+def _write_chunk(spark, docs, path):
+    spark.createDataFrame(
+        [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+        schema=corpus.DOC_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _spans_set(df):
+    return {
+        (r["doc_id"], tuple(tuple(s) for s in r["spans"]))
+        for r in df.collect()
+    }
+
+
+def test_stream_equals_batch_and_is_incremental(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    chunk1 = [corpus.generate_doc("basic_article", i) for i in range(8)]
+    chunk2 = [corpus.generate_doc("sections", i) for i in range(6)]
+    _write_chunk(spark, chunk1, in_dir)
+
+    q = stream_extract(spark, in_dir, out_dir, ck)
+    q.awaitTermination()
+    got1 = _spans_set(spark.read.parquet(out_dir))
+    batch1 = _spans_set(
+        extract_spans(spark.read.schema(corpus.DOC_SCHEMA).parquet(in_dir)))
+    assert got1 == batch1
+
+    # new files arrive; a resumed query processes ONLY them (checkpoint)
+    _write_chunk(spark, chunk2, in_dir)
+    q2 = stream_extract(spark, in_dir, out_dir, ck)
+    q2.awaitTermination()
+    got2 = _spans_set(spark.read.parquet(out_dir))
+    assert len(got2) == len(chunk1) + len(chunk2)
+    batch2 = _spans_set(
+        extract_spans(spark.read.schema(corpus.DOC_SCHEMA).parquet(in_dir)))
+    assert got2 == batch2
+
+    # re-running with nothing new appends nothing (exactly-once)
+    q3 = stream_extract(spark, in_dir, out_dir, ck)
+    q3.awaitTermination()
+    assert len(_spans_set(spark.read.parquet(out_dir))) == len(got2)

@@ -181,17 +181,20 @@ def bigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
         .withColumnRenamed("token", "w1")
         .filter(F.col("w2").isNotNull())
     )
-    # one shuffle to (doc_id,w1,w2); marginals re-aggregate the MUCH smaller
-    # counts table rather than the raw bigram stream (3x less agg work and
-    # the shared subtree hits ReuseExchange)
+    # ONE exchange total: the lead-window shuffles by doc_id; the counts
+    # aggregation and all three contingency marginals are computed as
+    # window sums whose partition keys are doc_id-prefixed, so
+    # hashpartitioning(doc_id) already satisfies their clustering — no
+    # further shuffle, no scan re-computation (a join-based formulation
+    # re-ran the tokenize subtree 4x: 4 FileScans, 0 ReusedExchange).
     counts = bi.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("cnt"))
-    tot = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_xx"))
-    left = counts.groupBy("doc_id", "w1").agg(F.sum("cnt").alias("n_ix"))
-    right = counts.groupBy("doc_id", "w2").agg(F.sum("cnt").alias("n_xi"))
+    n_ix = F.sum("cnt").over(Window.partitionBy("doc_id", "w1"))
+    n_xi = F.sum("cnt").over(Window.partitionBy("doc_id", "w2"))
+    n_xx = F.sum("cnt").over(Window.partitionBy("doc_id"))
     scored = (
-        counts.join(left, ["doc_id", "w1"])
-        .join(right, ["doc_id", "w2"])
-        .join(tot, "doc_id")
+        counts.withColumn("n_ix", n_ix)
+        .withColumn("n_xi", n_xi)
+        .withColumn("n_xx", n_xx)
         .withColumn("llr", F.round(_llr(F.col("cnt").cast("double"),
                                         F.col("n_ix").cast("double"),
                                         F.col("n_xi").cast("double"),
@@ -228,15 +231,17 @@ def trigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
         .withColumnRenamed("token", "w1")
         .filter(F.col("w3").isNotNull())
     )
+    # same one-exchange shape as bigrams: doc_id-prefixed window marginals
     counts = tri.groupBy("doc_id", "w1", "w2", "w3").agg(F.count("*").alias("cnt"))
-    tot = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n_xx"))
-    prefix = counts.groupBy("doc_id", "w1", "w2").agg(F.sum("cnt").alias("n_ix"))
-    last = counts.groupBy("doc_id", "w3").agg(F.sum("cnt").alias("n_xi"))
+    n_ix = F.sum("cnt").over(Window.partitionBy("doc_id", "w1", "w2"))
+    n_xi = F.sum("cnt").over(Window.partitionBy("doc_id", "w3"))
+    n_xx = F.sum("cnt").over(Window.partitionBy("doc_id"))
     scored = (
-        counts.filter(F.col("cnt") >= min_freq)  # cheap filter BEFORE joins/LLR
-        .join(prefix, ["doc_id", "w1", "w2"])
-        .join(last, ["doc_id", "w3"])
-        .join(tot, "doc_id")
+        counts.withColumn("n_ix", n_ix)
+        .withColumn("n_xi", n_xi)
+        .withColumn("n_xx", n_xx)
+        .filter(F.col("cnt") >= min_freq)  # after marginals (they need all
+        # trigrams), before the LLR math and ranking
         .withColumn("llr", F.round(_llr(F.col("cnt").cast("double"),
                                         F.col("n_ix").cast("double"),
                                         F.col("n_xi").cast("double"),

@@ -100,12 +100,7 @@ def build_bloom(df, column, n_items, fpr=0.01):
     return proto
 
 
-def bloom_prefilter(df, column, bloom, spark):
-    """Keep only rows whose ``column`` is NOT (probably) in the filter —
-    the definitely-new fast path. Rows the Bloom claims to contain may be
-    false positives; callers MUST still run the exact anti-join on the
-    survivors' complement being dropped is safe because Bloom has no false
-    negatives. Vectorized pandas UDF over the broadcast filter."""
+def _maybe_visited_udf(bloom, spark):
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
@@ -117,4 +112,26 @@ def bloom_prefilter(df, column, bloom, spark):
         bf = bc.value
         return pd.Series(bf.contains_array(s.tolist()))
 
-    return df.filter(~maybe_visited(F.col(column)))
+    return maybe_visited
+
+
+def bloom_prefilter(df, column, bloom, spark):
+    """Keep only rows whose ``column`` is NOT (probably) in the filter —
+    the definitely-new fast path. Bloom has no false negatives, so nothing
+    visited survives this filter. Vectorized pandas UDF over the broadcast
+    filter; a pure map — no shuffle."""
+    from pyspark.sql import functions as F
+
+    return df.filter(~_maybe_visited_udf(bloom, spark)(F.col(column)))
+
+
+def bloom_split(df, column, bloom, spark):
+    """(definitely_new, maybe_seen): a FILTER-based split — both branches
+    are map-only over the scan. The complementary maybe_seen set (true
+    positives + ~fpr false positives, i.e. tiny when most docs are new)
+    still needs the exact anti-join; the join's left side has shrunk from
+    |df| to |maybe_seen|, which is the whole point of the pre-filter."""
+    from pyspark.sql import functions as F
+
+    udf = _maybe_visited_udf(bloom, spark)
+    return df.filter(~udf(F.col(column))), df.filter(udf(F.col(column)))

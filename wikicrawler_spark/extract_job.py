@@ -38,10 +38,11 @@ def anti_join_visited(docs: DataFrame, visited: DataFrame | None,
     if visited is None:
         return docs
     if bloom is not None and spark is not None:
-        from .bloom import bloom_prefilter
+        from .bloom import bloom_split
 
-        definitely_new = bloom_prefilter(docs, "doc_id", bloom, spark)
-        maybe_seen = docs.join(definitely_new.select("doc_id"), "doc_id", "left_anti")
+        # filter-based split: the big side never shuffles; only the tiny
+        # maybe_seen branch (bloom true+false positives) pays the anti-join
+        definitely_new, maybe_seen = bloom_split(docs, "doc_id", bloom, spark)
         checked = maybe_seen.join(visited.select("doc_id"), "doc_id", "left_anti")
         return definitely_new.unionByName(checked)
     return docs.join(visited.select("doc_id"), "doc_id", "left_anti")
