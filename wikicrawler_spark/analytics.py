@@ -322,6 +322,21 @@ def markdown_paragraph_filter(spans_df: DataFrame, collocs_df: DataFrame) -> Dat
     )
 
 
+def analyze(doc_text_df: DataFrame, level: int = 2, text_col: str = "body") -> dict:
+    """A12: the reference computes only the stats the requested level asks
+    for (paragraph.py:79-93: level>=1 freq, >=2 bigrams, >=3 trigrams).
+    On Spark the gating is free — unrequested DataFrames are never built,
+    and unconsumed ones never execute (lazy plans)."""
+    out: dict = {}
+    if level >= 1:
+        out["word_freq"] = word_freq(doc_text_df, text_col)
+    if level >= 2:
+        out["bigrams"] = bigram_collocations(doc_text_df, text_col)
+    if level >= 3:
+        out["trigrams"] = trigram_collocations(doc_text_df, text_col)
+    return out
+
+
 def top5_stats(freq_df: DataFrame) -> DataFrame:
     """A17: per-doc top-5 tokens by count (markdown.py:42-48 truncation),
     deterministic tie-break on token."""

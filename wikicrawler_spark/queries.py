@@ -681,6 +681,56 @@ FROM documents
 """
 
 
+# ------------------------------------------------------------- storage ops
+
+def q_upsert_latest(spark, sf_dir):
+    """S6 last-write-wins upsert: documents (wave 0) merged with updates for
+    every even doc_id (wave 1)."""
+    from .storage import merge_upsert
+
+    base = _docs_text(spark, sf_dir).withColumn("wave", F.lit(0))
+    updates = (
+        _docs_text(spark, sf_dir)
+        .filter(F.col("doc_id").cast("long") % 2 == 0)
+        .withColumn("text", F.lit("UPDATED"))
+        .withColumn("wave", F.lit(1))
+    )
+    return merge_upsert(base, updates).select(
+        "doc_id", "wave", F.substring("text", 1, 12).alias("text_prefix"))
+
+
+ORACLE_UPSERT = """
+SELECT doc_id::VARCHAR AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS wave,
+       CASE WHEN doc_id % 2 = 0 THEN 'UPDATED'
+            ELSE substring(text, 1, 12) END AS text_prefix
+FROM documents
+"""
+
+
+def q_validate_doc_ids(spark, sf_dir):
+    """S3 URL/doc-id validation split (counts of valid vs rejected)."""
+    from .storage import validate_doc_ids
+
+    mixed = _docs_text(spark, sf_dir).select(
+        F.when(F.col("doc_id").cast("long") % 5 == 0,
+               F.concat(F.lit("http://other.example/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("wiki/doc_"), F.col("doc_id")))
+        .alias("doc_id")
+    )
+    ok, bad = validate_doc_ids(mixed)
+    return ok.select(F.lit("valid").alias("bucket"), "doc_id").unionByName(
+        bad.select(F.lit("rejected").alias("bucket"), "doc_id"))
+
+
+ORACLE_VALIDATE = """
+SELECT CASE WHEN doc_id % 5 = 0 THEN 'rejected' ELSE 'valid' END AS bucket,
+       CASE WHEN doc_id % 5 = 0 THEN 'http://other.example/' || doc_id
+            ELSE 'wiki/doc_' || doc_id END AS doc_id
+FROM documents
+"""
+
+
 # ------------------------------------------------------------- relational
 
 def q_tpch_q1(spark, sf_dir):
@@ -829,6 +879,8 @@ def queries() -> dict:
         "top_orders_per_customer": q_top_orders_per_customer,
         "orders_by_nation": q_orders_by_nation,
         "events_sessionize": q_events_sessionize,
+        "upsert_latest": q_upsert_latest,
+        "validate_doc_ids": q_validate_doc_ids,
     }
 
 
@@ -862,6 +914,8 @@ def oracle_sql() -> dict:
         "top_orders_per_customer": ORACLE_TOP_ORDERS,
         "orders_by_nation": ORACLE_ORDERS_BY_NATION,
         "events_sessionize": ORACLE_SESSIONIZE,
+        "upsert_latest": ORACLE_UPSERT,
+        "validate_doc_ids": ORACLE_VALIDATE,
         # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
         # sentence_slices included above; events sessionization omitted until
         # its oracle is finished

@@ -111,12 +111,15 @@ class AutosearchResult:
     hops: list[Hop] = field(default_factory=list)
 
 
-def autosearch(spark, spans_df: DataFrame, start_doc: str, n: int = 3) -> AutosearchResult:
+def autosearch(spark, spans_df: DataFrame, start_doc: str, n: int = 3,
+               move: str = "colloc") -> AutosearchResult:
     """T4: n-hop similarity chain. Per hop (oracle.py:37-87):
       1. stats of the current doc: word freq (A5) + bigram collocations (A6)
       2. pointer: highest-frequency word (A13)
-      3. most-similar collocation to that word (A14, jaro-winkler)
-      4. next doc = the one whose TITLE is most similar to that collocation
+      3. cmov (move='colloc', oracle.py:79-87): most-similar collocation to
+         that word (A14); fmov (move='freq', oracle.py:68-76): the word
+         itself is the probe
+      4. next doc = the one whose TITLE is most similar to the probe
          (stand-in for Special:Search over a static corpus)
     Driver-side loop over tiny per-doc results — each hop is one small job;
     the corpus-wide analogue is the frontier loop (frontier.py).
@@ -142,14 +145,15 @@ def autosearch(spark, spans_df: DataFrame, start_doc: str, n: int = 3) -> Autose
             result.hops.append(hop)
             break
         hop.top_word = top[0]["top_token"]
-        collocs = bigram_collocations(body).collect()
-        if collocs:
-            scored = sorted(
-                ((jaro_winkler(f'{r["w1"]} {r["w2"]}', hop.top_word),
-                  f'{r["w1"]} {r["w2"]}') for r in collocs),
-                key=lambda x: (-x[0], x[1]),
-            )
-            hop.best_colloc = scored[0][1]
+        if move == "colloc":
+            collocs = bigram_collocations(body).collect()
+            if collocs:
+                scored = sorted(
+                    ((jaro_winkler(f'{r["w1"]} {r["w2"]}', hop.top_word),
+                      f'{r["w1"]} {r["w2"]}') for r in collocs),
+                    key=lambda x: (-x[0], x[1]),
+                )
+                hop.best_colloc = scored[0][1]
         probe = hop.best_colloc or hop.top_word
         result.hops.append(hop)
         # next: most title-similar unvisited doc (search stand-in)
