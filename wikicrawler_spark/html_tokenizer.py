@@ -25,7 +25,6 @@ Pure Python, zero Spark imports — runs inside Arrow-batched
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
 
 _TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
 _TAG_RE = re.compile(r"^<\s*(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*?)(/?)\s*>$")
@@ -50,13 +49,16 @@ def unescape(text: str) -> str:
     return text
 
 
-@dataclass
 class Element:
-    """Minimal DOM node: tag, attrs, ordered children (Element | str)."""
+    """Minimal DOM node: tag, attrs, ordered children (Element | str).
+    __slots__ + manual init: this type is built millions of times per task."""
 
-    tag: str
-    attrs: dict[str, str] = field(default_factory=dict)
-    children: list = field(default_factory=list)
+    __slots__ = ("tag", "attrs", "children")
+
+    def __init__(self, tag: str, attrs: dict | None = None):
+        self.tag = tag
+        self.attrs = attrs if attrs is not None else {}
+        self.children = []
 
     @property
     def classes(self) -> list[str]:
@@ -96,7 +98,12 @@ class Element:
         return [c for c in self.children if isinstance(c, Element)]
 
 
+_EMPTY_ATTRS: dict[str, str] = {}
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
+    if "=" not in raw:
+        return {}
     return {k: unescape(v) for k, v in _ATTR_RE.findall(raw)}
 
 
@@ -116,6 +123,9 @@ class StreamParser:
         # Containers opened-but-not-closed across fragments carry None
         # (we never need their subtree, only their identity for scope).
         self._stack: list[tuple[str, dict[str, str]]] = []
+        # count of open containers carrying class mw-parser-output — scope
+        # membership is O(1) instead of scanning the stack per block
+        self._scope_count = 0
         # While a block element is being built inside a fragment we keep a
         # build stack of Elements.
         self._build: list[Element] = []
@@ -124,47 +134,64 @@ class StreamParser:
 
     @property
     def in_content_scope(self) -> bool:
-        return any(
-            "mw-parser-output" in e[1].get("class", "").split() for e in self._stack
-        )
+        return self._scope_count > 0
+
+    @staticmethod
+    def _is_scope(attrs: dict) -> bool:
+        return "mw-parser-output" in attrs.get("class", "").split()
 
     def feed(self, fragment: str) -> list[tuple[Element, bool]]:
         """Parse one html fragment; return completed top-level blocks as
         (element, was_in_content_scope) in document order."""
         blocks: list[tuple[Element, bool]] = []
+        build = self._build
         for m in _TOKEN_RE.finditer(fragment):
             tok = m.group(0)
-            if tok.startswith("<"):
+            if tok[0] == "<":
+                # manual tag parse (hot path — ~2x faster than the regex):
+                # '</tag>', '<tag>', '<tag attrs>', '<tag/>', '<tag attrs/>'
                 if tok.startswith("<!--"):
                     continue
-                tm = _TAG_RE.match(tok)
-                if not tm:
+                if tok[1] == "/":
+                    tag = tok[2:-1].strip().lower()
+                    if tag.isalnum():
+                        self._close(tag, blocks)
+                    continue
+                inner = tok[1:-1]
+                selfclose = inner.endswith("/")
+                if selfclose:
+                    inner = inner[:-1]
+                sp = inner.find(" ")
+                if sp == -1:
+                    tag, rawattrs = inner.strip(), ""
+                else:
+                    tag, rawattrs = inner[:sp], inner[sp + 1:]
+                if not tag or not tag[0].isalpha():
                     continue  # malformed tag: ignored (corpus never emits these)
-                closing, tag, rawattrs, selfclose = tm.groups()
                 tag = tag.lower()
-                if closing:
-                    self._close(tag, blocks)
-                elif selfclose or tag in _VOID_TAGS:
-                    el = Element(tag, _parse_attrs(rawattrs))
-                    if self._build:
-                        self._build[-1].children.append(el)
+                if not tag.isalnum():
+                    continue
+                el = Element(tag, _parse_attrs(rawattrs))
+                if selfclose or tag in _VOID_TAGS:
+                    if build:
+                        build[-1].children.append(el)
                     else:
                         blocks.append((el, self.in_content_scope))
                 else:
-                    el = Element(tag, _parse_attrs(rawattrs))
-                    if self._build:
-                        self._build[-1].children.append(el)
-                    self._build.append(el)
+                    if build:
+                        build[-1].children.append(el)
+                    build.append(el)
             else:
-                text = unescape(tok)
-                if self._build:
-                    self._build[-1].children.append(text)
+                if build:
+                    build[-1].children.append(unescape(tok))
                 # Bare top-level text between blocks is insignificant
                 # whitespace in the fixture grammar; dropped.
         # Any elements still open at fragment end become cross-fragment
         # containers (scope markers): move them to the container stack.
         for el in self._build:
             self._stack.append((el.tag, el.attrs))
+            if self._is_scope(el.attrs):
+                self._scope_count += 1
         self._build = []
         return blocks
 
@@ -180,5 +207,7 @@ class StreamParser:
         # Otherwise this closes a cross-fragment container.
         for i in range(len(self._stack) - 1, -1, -1):
             if self._stack[i][0] == tag:
+                self._scope_count -= sum(
+                    1 for e in self._stack[i:] if self._is_scope(e[1]))
                 del self._stack[i:]
                 return

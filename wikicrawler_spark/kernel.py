@@ -75,8 +75,8 @@ WIKI_BASE = "https://en.wikipedia.org"
 LINK_DENSITY_MAX = 0.8
 
 
-def _anchor_text_len(el: Element) -> int:
-    return sum(len(a.get_text()) for a in el.find_all("a"))
+def _anchor_text_len(anchors) -> int:
+    return sum(len(a.get_text()) for a in anchors)
 
 
 def _serialize_wikitable(el: Element) -> str:
@@ -125,9 +125,12 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
                 title = el.get_text()
             return
 
+        # one subtree traversal for anchors, reused by every rule below
+        anchors = ([el] if tag == "a" else []) + el.find_all("a")
+
         # media anchors: whole page, document order (grabber.py:320).
-        for a in [el] + el.find_all("a"):
-            if isinstance(a, Element) and a.tag == "a" and "image" in a.classes:
+        for a in anchors:
+            if "image" in a.classes:
                 href = a.attrs.get("href")
                 if href is not None:
                     cap = a.get_text()
@@ -137,7 +140,7 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
         # catlinks: whole page (seeker.py:27 uses page.find).
         if not seen_catlinks and el_id == "catlinks" and "catlinks" in classes:
             seen_catlinks = True
-            for a in el.find_all("a"):
+            for a in anchors:
                 t = a.attrs.get("title")
                 href = a.attrs.get("href")
                 if t is not None and href is not None:
@@ -150,7 +153,7 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
         if tag == "p":
             text = el.get_text()
             total = len(text)
-            link_len = _anchor_text_len(el)
+            link_len = _anchor_text_len(anchors)
             # Boilerplate classification (E14): an explicit nav marker kills
             # the whole block; high link-text density only suppresses the
             # paragraph TEXT ("List of…" pages are link-dense but their
@@ -163,7 +166,7 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
             if not text_is_boiler and text != "" and text != "\n":
                 body.append(("paragraph", latex_to_text(text) if latex else text, None))
             if not is_nav:
-                for a in el.find_all("a"):
+                for a in anchors:
                     href = a.attrs.get("href")
                     if href is not None and href.startswith("/wiki"):
                         body.append(("link", a.get_text(), WIKI_BASE + href))
@@ -197,14 +200,14 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
                     references.append((link.get_text(), link.attrs["href"]))
         elif "div-col" in classes and not seen_divcol:
             seen_divcol = True
-            for a in el.find_all("a"):
+            for a in anchors:
                 href = a.attrs.get("href")
                 if href is not None and href.startswith("/wiki"):
                     t = a.attrs.get("title")
                     if t is not None:  # title-less skipped (grabber.py:294-297)
                         see_also.append((t, WIKI_BASE + href))
         elif "mw-search-results" in classes:
-            for a in el.find_all("a"):
+            for a in anchors:
                 href = a.attrs.get("href")
                 t = a.attrs.get("title")
                 if href is not None and href.startswith("/wiki/") and t is not None:
@@ -214,7 +217,6 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
         else:
             # Bare in-scope anchors (disambiguation pages list links outside
             # <p>, seeker.py:40-45) — also anchors nested in unclassified divs.
-            anchors = ([el] if tag == "a" else []) + el.find_all("a")
             for a in anchors:
                 href = a.attrs.get("href")
                 t = a.attrs.get("title")
