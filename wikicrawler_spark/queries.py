@@ -68,7 +68,22 @@ def wrapped_docs(spark, sf_dir: str) -> DataFrame:
             span("html", F.concat(
                 F.lit('<a class="image" href="/wiki/File:Img_'),
                 F.col("doc_id").cast("string"), F.lit('.jpg">img</a>')), 5),
-            span("html", F.lit("</div></div>"), 6),
+            span("html", F.concat(
+                F.lit('<div id="toc"><ul><li><a href="#s1">1 Intro '),
+                F.col("lang"), F.lit("</a></li></ul></div>")), 6),
+            span("html", F.concat(
+                F.lit('<div class="div-col"><a href="/wiki/SA_'), F.col("source"),
+                F.lit('" title="SA '), F.col("source"), F.lit('">x</a></div>')), 7),
+            span("html", F.concat(
+                F.lit('<ol class="references"><li><a class="external" '
+                      'href="https://example.org/ref'),
+                F.col("doc_id").cast("string"), F.lit('">Ref '),
+                F.col("doc_id").cast("string"), F.lit("</a></li></ol>")), 8),
+            span("html", F.lit("</div></div>"), 9),
+            span("html", F.concat(
+                F.lit('<div id="catlinks" class="catlinks"><a href="/wiki/Category:'),
+                F.col("lang"), F.lit('" title="Category:'), F.col("lang"),
+                F.lit('">c</a></div>')), 10),
         ).alias("spans"),
     )
 
@@ -181,13 +196,60 @@ def q_span_offsets_dense(spark, sf_dir):
 
 
 # spans per wrapped doc: title + heading + paragraph? + links + wikitable
-# + media (the a.image anchor)
+# + media + toc + see_also + reference + category
 ORACLE_OFFSETS = f"""
 SELECT 'wiki/doc_' || doc_id AS doc_id,
        (2 + (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)
-          + {_SQL_NSPARK} + 2)::BIGINT AS n_spans,
+          + {_SQL_NSPARK} + 6)::BIGINT AS n_spans,
        (2 + (CASE WHEN {_SQL_PARA_KEPT} THEN 1 ELSE 0 END)
-          + {_SQL_NSPARK} + 2 - 1)::INT AS max_offset
+          + {_SQL_NSPARK} + 6 - 1)::INT AS max_offset
+FROM documents
+"""
+
+
+def _kind_query(kind: str, text_alias: str, ref_alias: str):
+    # columns built lazily inside the call — F.col needs an active session
+    # at construction time in pyspark 4
+    def q(spark, sf_dir):
+        return (
+            _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+            .filter(F.col("kind") == kind)
+            .select("doc_id", F.col("text").alias(text_alias),
+                    F.col("media_ref").alias(ref_alias))
+        )
+
+    return q
+
+
+q_extract_toc = _kind_query("toc", "toc_name", "toc_url")
+ORACLE_TOC = """
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'Intro ' || lang AS toc_name,
+       'https://en.wikipedia.org/wiki/doc_' || doc_id || '#s1' AS toc_url
+FROM documents
+"""
+
+q_extract_see_also = _kind_query("see_also", "sa_title", "sa_url")
+ORACLE_SEE_ALSO = """
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'SA ' || source AS sa_title,
+       'https://en.wikipedia.org/wiki/SA_' || source AS sa_url
+FROM documents
+"""
+
+q_extract_references = _kind_query("reference", "ref_text", "ref_url")
+ORACLE_REFERENCES = """
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'Ref ' || doc_id AS ref_text,
+       'https://example.org/ref' || doc_id AS ref_url
+FROM documents
+"""
+
+q_extract_categories = _kind_query("category", "cat_title", "cat_href")
+ORACLE_CATEGORIES = """
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'Category:' || lang AS cat_title,
+       '/wiki/Category:' || lang AS cat_href
 FROM documents
 """
 
@@ -858,6 +920,10 @@ def queries() -> dict:
         "page_view": q_page_view_scalars,
         "search_direct": q_search_direct,
         "markdown_docs": q_markdown_docs,
+        "extract_toc": q_extract_toc,
+        "extract_see_also": q_extract_see_also,
+        "extract_references": q_extract_references,
+        "extract_categories": q_extract_categories,
         "word_freq": q_word_freq,
         "argmax_freq": q_argmax_freq,
         "bigram_collocations": q_bigram_collocations,
@@ -895,6 +961,10 @@ def oracle_sql() -> dict:
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "page_view": ORACLE_PAGE_VIEW,
         "search_direct": ORACLE_SEARCH_DIRECT,
+        "extract_toc": ORACLE_TOC,
+        "extract_see_also": ORACLE_SEE_ALSO,
+        "extract_references": ORACLE_REFERENCES,
+        "extract_categories": ORACLE_CATEGORIES,
         "word_freq": ORACLE_WORD_FREQ,
         "argmax_freq": ORACLE_ARGMAX_FREQ,
         "bigram_collocations": ORACLE_BIGRAMS,
