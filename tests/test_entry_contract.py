@@ -57,12 +57,16 @@ def test_entry_smoke(spark):
 
 
 def test_every_query_runs(spark):
+    """Queries WITHOUT an oracle still must run (the oracle-backed ones
+    execute in test_query_matches_oracle — no need to run them twice)."""
     qs = entrymod.queries()
+    oracled = set(entrymod.oracle_sql())
     assert len(qs) >= 20
     for name, fn in qs.items():
+        if name in oracled:
+            continue
         df = fn(spark, SF_DIR)
-        n = df.count()
-        assert n >= 0, name
+        assert df.count() >= 0, name
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.oracle_sql()))

@@ -153,3 +153,15 @@ def test_distributed_bloom_build(spark):
     df = spark.range(2000).selectExpr("concat('wiki/z_', id) as doc_id").repartition(7)
     bf = build_bloom(df, "doc_id", 2000)
     assert all(bf.might_contain(f"wiki/z_{i}") for i in range(2000))
+
+
+def test_hot_skew_fanout(spark):
+    """FIXTURES hot_skew: a 'List of…' doc with 10^4 links must fan the
+    frontier out to every target in one wave (link-dense paragraphs feed
+    the crawl even though their text is boilerplate-suppressed)."""
+    hot = corpus.corpus_df(spark, 400, families=("hot_skew",), partitions=8)
+    res = crawl(spark, hot, [corpus.doc_id_for("hot_skew", 0)], max_waves=3,
+                use_bloom=True, num_partitions=8)
+    assert res.wave_sizes[0] == 1
+    assert res.wave_sizes[1] == 399  # full fan-out, deduped
+    assert res.spans.count() == 400

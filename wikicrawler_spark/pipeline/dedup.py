@@ -157,14 +157,28 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     Returns (id_a, id_b, jaccard >= threshold)."""
     sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
     cands = minhash_lsh_candidates(sigs, k, bands)
+    # exact verification via the shingle inverted index restricted to
+    # candidate pairs — no per-doc collect_set arrays (a giant doc would
+    # otherwise materialize its whole shingle set in one row; the index
+    # join streams instead, and shuffles only candidate docs' shingles)
     sh = shingle_table(df, id_col, text_col, n)
-    sets = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.withColumnRenamed("id", "id_a")
+    b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("__shb"))
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("__idb"))
+              & (F.col("shingle") == F.col("__shb")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
     verified = (
-        cands.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn("jaccard", F.col("inter")
-                    / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
