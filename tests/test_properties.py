@@ -88,3 +88,20 @@ def test_hostile_markup_never_crashes(frags, data):
     assert [s["offset"] for s in out] == list(range(len(out)))
     assert all(s["kind"] in OUTPUT_KINDS for s in out)
     assert out == extract_doc("wiki/hostile", spans)
+
+
+@given(family=FAMS, index=st.integers(0, 200), seed=st.integers(0, 5))
+@settings(max_examples=100, deadline=None)
+def test_fast_paragraph_path_equals_tree_path(family, index, seed):
+    """The <p> fast path must be byte-identical to the tree path."""
+    from wikicrawler_spark import kernel
+
+    doc = corpus.generate_doc(family, index, seed=seed, n_total=500)
+    try:
+        kernel.FAST_PARAGRAPH_PATH = True
+        fast = extract_doc(doc["doc_id"], doc["spans"])
+        kernel.FAST_PARAGRAPH_PATH = False
+        tree = extract_doc(doc["doc_id"], doc["spans"])
+    finally:
+        kernel.FAST_PARAGRAPH_PATH = True
+    assert fast == tree

@@ -56,16 +56,28 @@ Arrow batches.
 from __future__ import annotations
 
 import os
+import re
 import time
 from typing import Iterable, Iterator
 
 import pandas as pd
 
-from .html_tokenizer import Element, StreamParser
+from .html_tokenizer import Element, StreamParser, _parse_attrs
 from .latexconv import latex_to_text
 from .schemas import DOC_DDL
 
 WIKI_BASE = "https://en.wikipedia.org"
+
+# --- fast paragraph path -----------------------------------------------
+# A self-contained <p> (optionally class-attributed) whose content is plain
+# text and flat anchors, with no entities: handled by direct regex scanning
+# instead of tree building. The guard set ("&"-free, pattern fullmatch)
+# guarantees byte-identical output to the tree path; anything else falls
+# back. Toggle for the equivalence property test.
+FAST_PARAGRAPH_PATH = True
+_FAST_P = re.compile(r'<p(?:\s+class="([^"]*)")?>(.*)</p>\Z', re.S)
+_FAST_P_CONTENT = re.compile(r'(?:[^<]|<a(?:\s[^<>]*)?>[^<]*</a>)*\Z', re.S)
+_FAST_A = re.compile(r"<a(\s[^<>]*)?>([^<]*)</a>", re.S)
 
 # Link-density threshold for the explicit boilerplate classifier (E14).
 # A <p> whose anchor text makes up more than this fraction of its total
@@ -223,11 +235,65 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
                 if href is not None and href.startswith("/wiki/") and t is not None:
                     disambig_links.append((t, href))
 
+    def fast_paragraph(frag: str) -> bool:
+        """Specialized handler for the dominant block shape: one <p> whose
+        content is text + flat anchors, no entities. Semantically IDENTICAL
+        to the tree path (handle_block's tag=='p' branch); proven by the
+        fast-vs-tree property test. Returns False to fall back."""
+        m = _FAST_P.match(frag)
+        if not m or not _FAST_P_CONTENT.fullmatch(m.group(2)):
+            return False
+        classes = (m.group(1) or "").split()
+        inner = m.group(2)
+        in_scope = parser.in_content_scope
+        pieces = []
+        link_len = 0
+        p_anchors = []  # (attrs, text)
+        last = 0
+        for am in _FAST_A.finditer(inner):
+            pieces.append(inner[last:am.start()])
+            atext = am.group(2)
+            pieces.append(atext)
+            link_len += len(atext)
+            p_anchors.append((am.group(1) or "", atext))
+            last = am.end()
+        pieces.append(inner[last:])
+        text = "".join(pieces)
+
+        # media anchors are collected whether or not the block is in scope
+        # (reference scans the whole page, grabber.py:320)
+        for rawattrs, atext in p_anchors:
+            if 'class="' in rawattrs:
+                attrs = _parse_attrs(rawattrs)
+                if "image" in attrs.get("class", "").split():
+                    href = attrs.get("href")
+                    if href is not None:
+                        body.append(("media", atext if atext else None,
+                                     WIKI_BASE + "/" + href.lstrip("/")))
+        if not in_scope:
+            return True
+        is_nav = "navbox" in classes
+        total = len(text)
+        text_is_boiler = is_nav or (total > 0 and link_len / total > LINK_DENSITY_MAX)
+        if not text_is_boiler and text != "" and text != "\n":
+            body.append(("paragraph", latex_to_text(text) if latex else text, None))
+        if not is_nav:
+            for rawattrs, atext in p_anchors:
+                if 'href="' in rawattrs:
+                    href = _parse_attrs(rawattrs).get("href")
+                    if href is not None and href.startswith("/wiki"):
+                        body.append(("link", atext, WIKI_BASE + href))
+        return True
+
     for s in ordered:
         kind = _get(s, "kind")
         if kind == "html":
             text = _get(s, "text")
             if text:
+                if (FAST_PARAGRAPH_PATH and text.startswith("<p")
+                        and text.endswith("</p>") and "&" not in text
+                        and fast_paragraph(text)):
+                    continue
                 for el, in_scope in parser.feed(text):
                     handle_block(el, in_scope)
         elif kind == "media":
