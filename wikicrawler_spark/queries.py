@@ -906,6 +906,79 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_cube_lineitem(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — grouping-set aggregation."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+ORACLE_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_linestatus(spark, sf_dir):
+    """Pivot l_linestatus into columns (conditional aggregation)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))  # count("*") is invalid inside a Pivot
+        .withColumnRenamed("O", "n_open")
+        .withColumnRenamed("F", "n_filled")
+        .na.fill(0, ["n_open", "n_filled"])
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       count(*) FILTER (WHERE l_linestatus = 'O') AS n_open,
+       count(*) FILTER (WHERE l_linestatus = 'F') AS n_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_set_ops_customers(spark, sf_dir):
+    """INTERSECT / EXCEPT: customers with orders above vs below a price."""
+    o = load(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 150000).select("o_custkey").distinct()
+    lo = o.filter(F.col("o_totalprice") < 50000).select("o_custkey").distinct()
+    both = hi.intersect(lo).select(F.lit("both").alias("bucket"), "o_custkey")
+    only_hi = hi.exceptAll(lo).select(F.lit("hi_only").alias("bucket"), "o_custkey")
+    return both.unionByName(only_hi)
+
+
+ORACLE_SET_OPS = """
+WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000),
+lo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice < 50000)
+SELECT 'both' AS bucket, o_custkey FROM (SELECT * FROM hi INTERSECT SELECT * FROM lo)
+UNION ALL
+SELECT 'hi_only' AS bucket, o_custkey FROM (SELECT * FROM hi EXCEPT SELECT * FROM lo)
+"""
+
+
+def q_distinct_suppliers_per_part(spark, sf_dir):
+    """COUNT(DISTINCT) aggregation over lineitem."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+ORACLE_DISTINCT = """
+SELECT l_partkey, count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_partkey
+"""
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -947,6 +1020,10 @@ def queries() -> dict:
         "events_sessionize": q_events_sessionize,
         "upsert_latest": q_upsert_latest,
         "validate_doc_ids": q_validate_doc_ids,
+        "cube_lineitem": q_cube_lineitem,
+        "pivot_linestatus": q_pivot_linestatus,
+        "set_ops_customers": q_set_ops_customers,
+        "distinct_suppliers_per_part": q_distinct_suppliers_per_part,
     }
 
 
@@ -986,6 +1063,10 @@ def oracle_sql() -> dict:
         "events_sessionize": ORACLE_SESSIONIZE,
         "upsert_latest": ORACLE_UPSERT,
         "validate_doc_ids": ORACLE_VALIDATE,
+        "cube_lineitem": ORACLE_CUBE,
+        "pivot_linestatus": ORACLE_PIVOT,
+        "set_ops_customers": ORACLE_SET_OPS,
+        "distinct_suppliers_per_part": ORACLE_DISTINCT,
         # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
         # sentence_slices included above; events sessionization omitted until
         # its oracle is finished
