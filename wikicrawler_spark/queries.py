@@ -307,11 +307,76 @@ FROM documents WHERE doc_id = 42
 
 
 def q_markdown_docs(spark, sf_dir):
-    """Markdown sink content (S10) — rows-only (string assembly of ranked
-    stats; pinned by pytest instead of SQL)."""
+    """Markdown sink content (S10): the COMPLETE per-page markdown string
+    (title + colloc-filtered paragraphs + top-5 freq/colloc stats) rebuilt
+    independently by the DuckDB oracle below."""
     from .sinks import markdown_doc
 
     return markdown_doc(extract_spans(wrapped_docs(spark, sf_dir)))
+
+
+def _oracle_markdown() -> str:
+    """Reconstruct sinks.markdown_doc output from raw documents columns:
+    body = text when the kernel keeps the paragraph; top-5 tokens by
+    (cnt desc, token); top-5 bigrams by (rounded LLR desc, w1, w2);
+    paragraphs kept when containing any top-5 colloc as substring."""
+    return f"""
+WITH base AS (
+  SELECT 'wiki/doc_' || doc_id AS doc_id,
+         'Doc ' || doc_id AS title,
+         CASE WHEN {_SQL_PARA_KEPT} THEN text ELSE '' END AS body
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_extract_all(body, '[A-Za-z0-9]+|[^\\s A-Za-z0-9]') AS w
+  FROM base
+), freq AS (
+  SELECT doc_id, token, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(w) AS token FROM toks)
+  WHERE NOT list_contains({_sql_blacklist()}, lower(token))
+    AND NOT regexp_full_match(token, '[0-9]+')
+  GROUP BY doc_id, token
+), top_toks AS (
+  SELECT doc_id, (list(token ORDER BY cnt DESC, token))[1:5] AS toks5
+  FROM freq GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM toks, unnest(range(1, greatest(len(w), 1))) AS g(i)
+), counts AS (
+  SELECT doc_id, w1, w2, count(*)::DOUBLE AS cnt FROM bi GROUP BY 1, 2, 3
+), tot AS (SELECT doc_id, sum(cnt) AS n_xx FROM counts GROUP BY 1),
+lft AS (SELECT doc_id, w1, sum(cnt) AS n_ix FROM counts GROUP BY 1, 2),
+rgt AS (SELECT doc_id, w2, sum(cnt) AS n_xi FROM counts GROUP BY 1, 2),
+scored AS (
+  SELECT c.doc_id, c.w1, c.w2, c.cnt AS n_ii, lft.n_ix, rgt.n_xi, tot.n_xx
+  FROM counts c JOIN lft USING (doc_id, w1) JOIN rgt USING (doc_id, w2)
+  JOIN tot USING (doc_id)
+), llr AS (
+  SELECT doc_id, w1, w2, round({_SQL_LLR}, 6) AS llr
+  FROM scored
+  WHERE length(w1) >= 3 AND NOT list_contains({_sql_stopwords()}, lower(w1))
+    AND length(w2) >= 3 AND NOT list_contains({_sql_stopwords()}, lower(w2))
+), top_colls AS (
+  SELECT doc_id,
+         (list(w1 || ' ' || w2 ORDER BY llr DESC, w1, w2))[1:5] AS colls5
+  FROM llr GROUP BY doc_id
+), assembled AS (
+  SELECT b.doc_id, b.title, b.body,
+         coalesce(t.toks5, []) AS toks5,
+         coalesce(c.colls5, []) AS colls5
+  FROM base b LEFT JOIN top_toks t USING (doc_id)
+  LEFT JOIN top_colls c USING (doc_id)
+)
+SELECT doc_id,
+       '# ' || title || chr(10) || '## Paragraphs' || chr(10)
+       || (CASE WHEN len(list_filter(colls5, x -> contains(body, x))) > 0
+                THEN body ELSE '' END)
+       || chr(10) || '## Stats' || chr(10) || chr(10) || '### frequencies' || chr(10)
+       || array_to_string(list_transform(toks5, x -> '#' || x), chr(10))
+       || chr(10) || chr(10) || '### collocations' || chr(10)
+       || array_to_string(list_transform(colls5, x -> '#' || x), chr(10))
+       || chr(10) AS markdown
+FROM assembled
+"""
 
 
 def q_word_freq(spark, sf_dir):
@@ -1038,6 +1103,7 @@ def oracle_sql() -> dict:
         "media_manifest": ORACLE_MEDIA_MANIFEST,
         "page_view": ORACLE_PAGE_VIEW,
         "search_direct": ORACLE_SEARCH_DIRECT,
+        "markdown_docs": _oracle_markdown(),
         "extract_toc": ORACLE_TOC,
         "extract_see_also": ORACLE_SEE_ALSO,
         "extract_references": ORACLE_REFERENCES,
