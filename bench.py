@@ -33,7 +33,10 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "300000"))
-CORPUS_PATH = os.environ.get("SPARK_GRAFT_BENCH_CORPUS", "/tmp/wcs_bench_corpus")
+# corpus path embeds the doc count so a changed BENCH_DOCS never reuses
+# a stale cached corpus
+CORPUS_PATH = os.environ.get("SPARK_GRAFT_BENCH_CORPUS",
+                             f"/tmp/wcs_bench_corpus_{BENCH_DOCS}")
 
 HEADLINE = [
     "extract_titles",          # full kernel pass (shares plan with all extract_*)
