@@ -52,3 +52,19 @@ def test_stream_equals_batch_and_is_incremental(spark, tmp_path):
     q3 = stream_extract(spark, in_dir, out_dir, ck)
     q3.awaitTermination()
     assert len(_spans_set(spark.read.parquet(out_dir))) == len(got2)
+
+
+def test_stream_stateful_dedup(spark, tmp_path):
+    """dropDuplicates state store: the same doc_id re-delivered in a later
+    micro-batch is extracted exactly once."""
+    in_dir = str(tmp_path / "in2")
+    out_dir = str(tmp_path / "out2")
+    ck = str(tmp_path / "ck2")
+    docs = [corpus.generate_doc("basic_article", i) for i in range(5)]
+    _write_chunk(spark, docs, in_dir)
+    _write_chunk(spark, docs[:3], in_dir)  # re-delivery of 3 docs
+    q = stream_extract(spark, in_dir, out_dir, ck, dedup_doc_ids=True,
+                       max_files_per_trigger=1)
+    q.awaitTermination()
+    got = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got) == sorted(d["doc_id"] for d in docs)

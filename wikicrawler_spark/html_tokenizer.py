@@ -27,7 +27,6 @@ from __future__ import annotations
 import re
 
 _TOKEN_RE = re.compile(r"<[^>]+>|[^<]+")
-_TAG_RE = re.compile(r"^<\s*(/?)([a-zA-Z][a-zA-Z0-9]*)([^>]*?)(/?)\s*>$")
 _ATTR_RE = re.compile(r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*=\s*\"([^\"]*)\"")
 
 _VOID_TAGS = frozenset({"br", "img", "hr", "meta", "link", "input", "wbr"})
@@ -96,9 +95,6 @@ class Element:
 
     def direct_children_tags(self) -> list["Element"]:
         return [c for c in self.children if isinstance(c, Element)]
-
-
-_EMPTY_ATTRS: dict[str, str] = {}
 
 
 def _parse_attrs(raw: str) -> dict[str, str]:

@@ -30,6 +30,7 @@ def stream_extract(
     latex: bool = False,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    dedup_doc_ids: bool = False,
 ):
     """Incremental extraction: new doc parquet files -> span parquet.
 
@@ -37,11 +38,18 @@ def stream_extract(
     drains everything currently present and stops at the next
     ``awaitTermination()`` — the batch-like mode used in tests and backfills;
     otherwise it runs continuously.
+
+    ``dedup_doc_ids`` adds the built-in STATEFUL streaming dedup
+    (dropDuplicates over the state store): a doc_id re-delivered in a later
+    micro-batch (at-least-once upstreams, re-crawled pages) is extracted
+    once — the streaming analog of the batch visited anti-join (SURVEY T9).
     """
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
+    if dedup_doc_ids:
+        docs = docs.dropDuplicates(["doc_id"])
     spans = extract_spans(docs, latex=latex)
     writer = (
         spans.writeStream.format("parquet")
