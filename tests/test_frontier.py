@@ -165,3 +165,15 @@ def test_hot_skew_fanout(spark):
     assert res.wave_sizes[0] == 1
     assert res.wave_sizes[1] == 399  # full fan-out, deduped
     assert res.spans.count() == 400
+
+
+def test_resume_with_bloom(spark, graph_df, tmp_path, crawl_exact):
+    """Resume seeds the incremental Bloom from the checkpointed visited set;
+    closure must still equal the exact path."""
+    ck = str(tmp_path / "ckpt_bloom")
+    crawl(spark, graph_df, ids([0, 1]), max_waves=3, ckpt_dir=ck, use_bloom=True)
+    resumed = crawl(spark, graph_df, ids([0, 1]), max_waves=30, ckpt_dir=ck,
+                    resume=True, use_bloom=True)
+    got = {(r["doc_id"], r["wave"]) for r in resumed.visited.collect()}
+    want = {(r["doc_id"], r["wave"]) for r in crawl_exact.visited.collect()}
+    assert got == want

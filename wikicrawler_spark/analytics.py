@@ -296,6 +296,14 @@ def sentence_slices(doc_text_df: DataFrame, amount=0.1) -> DataFrame:
     )
 
 
+def kept_paragraphs_expr(paragraphs: Column, top_collocs: Column) -> Column:
+    """A16 (markdown.py:36-39): paragraphs containing ANY of the top-5
+    collocation strings as a substring. THE single definition — the sink
+    (sinks.markdown_doc) and markdown_paragraph_filter both use it."""
+    return F.filter(paragraphs,
+                    lambda p: F.exists(top_collocs, lambda c: p.contains(c)))
+
+
 def markdown_paragraph_filter(spans_df: DataFrame, collocs_df: DataFrame) -> DataFrame:
     """A16: keep paragraphs containing any of the doc's top-5 collocations
     as a substring (markdown.py:36-39). Broadcast-joins the tiny top-5 set
@@ -312,12 +320,8 @@ def markdown_paragraph_filter(spans_df: DataFrame, collocs_df: DataFrame) -> Dat
         .select(
             "doc_id",
             F.when(F.col("top5").isNull(), F.array().cast("array<string>"))
-            .otherwise(
-                F.filter(
-                    "paragraphs",
-                    lambda p: F.exists("top5", lambda c: p.contains(c)),
-                )
-            ).alias("kept_paragraphs"),
+            .otherwise(kept_paragraphs_expr(F.col("paragraphs"), F.col("top5")))
+            .alias("kept_paragraphs"),
         )
     )
 

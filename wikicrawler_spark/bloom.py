@@ -73,13 +73,19 @@ class BloomFilter:
         return self
 
 
-def build_bloom(df, column, n_items, fpr=0.01):
+def build_bloom(df, column, n_items, fpr=0.01, n_bits=None, k=None):
     """Distributed build: each partition fills a local filter (mapInPandas,
     Arrow-batched); partial bitarrays are OR-merged on the driver. One pass,
-    no shuffle."""
+    no shuffle. Pass (n_bits, k) to build with a FIXED geometry so the
+    result can be merged into an existing filter (frontier.py's incremental
+    per-wave builds)."""
     import pandas as pd
 
     proto = BloomFilter(n_items, fpr)
+    if n_bits is not None:
+        proto.n_bits = n_bits
+        proto.k = k
+        proto.bits = np.zeros(n_bits // 8 + 1, dtype=np.uint8)
     n_bits, k = proto.n_bits, proto.k
 
     def partial(batches):

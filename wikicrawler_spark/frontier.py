@@ -106,18 +106,19 @@ def crawl(
     """
     from .bloom import BloomFilter, build_bloom
 
-    sc = spark.sparkContext
-
     start_wave = 0
     spans_parts: list[DataFrame] = []
     lineage_parts: list[DataFrame] = []
     metrics_parts: list[DataFrame] = []
     wave_sizes: list[int] = []
 
+    n_visited_start = 0
     if resume and ckpt_dir is not None and (lw := last_complete_wave(ckpt_dir)) >= 0:
         frontier = spark.read.parquet(_wave_dir(ckpt_dir, lw, "next_frontier"))
         visited = spark.read.parquet(_wave_dir(ckpt_dir, lw, "visited"))
         start_wave = lw + 1
+        if use_bloom:
+            n_visited_start = visited.count()
         # recover already-committed per-wave outputs so the result is whole
         for w in range(lw + 1):
             for name, parts in (("spans", spans_parts), ("lineage", lineage_parts),
@@ -132,12 +133,28 @@ def crawl(
         )
         visited = spark.createDataFrame([], VISITED_SCHEMA)
 
+    # One incremental Bloom filter for the whole crawl: capacity fixed up
+    # front (merge requires identical bit geometry); each wave ORs in a
+    # distributed build over ONLY the new frontier — O(|frontier|) per wave
+    # instead of re-scanning the whole visited set (which grows without
+    # bound). Sized from the resumed visited count + a headroom factor; if
+    # the crawl outgrows it the FPR degrades gracefully (the exact
+    # anti-join stays authoritative).
+    bloom = None
+    if use_bloom:
+        bloom = BloomFilter(max((n_visited_start + len(seeds)) * 8, 65536),
+                            bloom_fpr)
+        if n_visited_start:
+            seeded = build_bloom(visited, "doc_id", 1, bloom_fpr,
+                                 n_bits=bloom.n_bits, k=bloom.k)
+            bloom.merge(seeded)
+
     for wave in range(start_wave, max_waves):
         t0 = time.monotonic()
         n_frontier = frontier.count()
-        wave_sizes.append(n_frontier)
         if n_frontier == 0:
             break
+        wave_sizes.append(n_frontier)
 
         f_ids = frontier.select("doc_id").dropDuplicates()
         join_side = F.broadcast(f_ids) if n_frontier <= broadcast_threshold else f_ids
@@ -167,10 +184,10 @@ def crawl(
         )
         visited_now = visited.select("doc_id").unionByName(frontier.select("doc_id"))
 
-        bloom = None
-        if use_bloom:
-            # size to everything ever seen (visited ∪ current frontier)
-            bloom = build_bloom(visited_now, "doc_id", max(sum(wave_sizes), 1024), bloom_fpr)
+        if bloom is not None:
+            # OR in just this wave's frontier ids (distributed partial build)
+            bloom.merge(build_bloom(frontier, "doc_id", 1, bloom_fpr,
+                                    n_bits=bloom.n_bits, k=bloom.k))
         nxt = anti_join_visited(candidates, visited_now, bloom=bloom, spark=spark)
         if per_wave_limit is not None:
             nxt = nxt.orderBy("doc_id").limit(per_wave_limit)

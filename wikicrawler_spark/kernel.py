@@ -385,9 +385,13 @@ def make_arrow_kernel(*, latex: bool = False):
             pos = 0
             for i, did in enumerate(doc_ids):
                 n = lengths[i] or 0
+                # stable sort on offset ONLY — a full-tuple sort would
+                # compare None texts (TypeError) and diverge from the
+                # pandas engine's offset-keyed stable sort on ties
                 seg = sorted(
                     zip(soffs[pos:pos + n], kinds[pos:pos + n],
-                        texts[pos:pos + n], refs[pos:pos + n])
+                        texts[pos:pos + n], refs[pos:pos + n]),
+                    key=lambda t: t[0],
                 )
                 pos += n
                 outs = _extract_core(did, [(k, t, r) for _, k, t, r in seg], latex)

@@ -25,7 +25,8 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from .analytics import collocations, paragraphs_col, top5_stats, word_freq
+from .analytics import (collocations, kept_paragraphs_expr,
+                        paragraphs_col, top5_stats, word_freq)
 from .page_view import page_view
 
 
@@ -66,10 +67,7 @@ def markdown_doc(spans_df: DataFrame) -> DataFrame:
         .withColumn("top_tokens",
                     F.coalesce("top_tokens", F.array().cast("array<string>")))
     )
-    kept = F.filter(
-        "paragraphs",
-        lambda p: F.exists("top_collocs", lambda c: p.contains(c)),
-    )
+    kept = kept_paragraphs_expr(F.col("paragraphs"), F.col("top_collocs"))
     md = F.concat(
         F.lit("# "), F.coalesce("title", F.lit("")), F.lit("\n## Paragraphs\n"),
         F.array_join(kept, " "), F.lit("\n## Stats\n\n### frequencies\n"),
@@ -109,7 +107,9 @@ def media_manifest(spans_df: DataFrame) -> DataFrame:
 
 
 def write_state(path: str, state: dict) -> None:
-    os.makedirs(os.path.dirname(path), exist_ok=True)
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump(state, f, sort_keys=True)

@@ -63,7 +63,7 @@ def search(spans_df: DataFrame, phrase: str, max_results: int = 20) -> DataFrame
     t = titles.join(dis, "doc_id")
 
     exact = t.filter(F.lower(F.col("title")) == phrase.lower())
-    exact_rows = exact.limit(2).collect()
+    exact_rows = exact.orderBy("doc_id").limit(2).collect()  # deterministic routing
     if len(exact_rows) == 1 and not exact_rows[0]["is_disambig"]:
         return exact.select(
             F.lit(1).alias("rank"), "doc_id", "title", F.lit("direct").alias("via")
@@ -78,7 +78,9 @@ def search(spans_df: DataFrame, phrase: str, max_results: int = 20) -> DataFrame
         )
         return links.limit(max_results).select(
             F.row_number().over(Window.orderBy("title")).alias("rank"),
-            F.col("media_ref").alias("doc_id"),
+            # kernel disambig links carry RELATIVE hrefs ('/wiki/X'); strip
+            # the leading slash so results are corpus doc_ids ('wiki/X')
+            F.regexp_replace(F.col("media_ref"), "^/", "").alias("doc_id"),
             "title",
             F.lit("disambig").alias("via"),
         )
