@@ -1044,6 +1044,29 @@ FROM lineitem GROUP BY l_partkey
 """
 
 
+def q_asof_login_value(spark, sf_dir):
+    """As-of join (custom operator — Spark has no native one): for every
+    'error' event, carry the value of the user's latest signup event at or
+    before it. Oracle: DuckDB's native ASOF JOIN."""
+    from .joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error") \
+        .select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    signups = e.filter(F.col("event_type") == "signup") \
+        .select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = asof_join(errors, signups, on="ts", by="user_id", value_cols=["value"])
+    return out.select("event_id", "user_id", F.col("value_asof"))
+
+
+ORACLE_ASOF = """
+SELECT l.event_id, l.user_id, r.value AS value_asof
+FROM (SELECT * FROM events WHERE event_type = 'error') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1085,6 +1108,7 @@ def queries() -> dict:
         "events_sessionize": q_events_sessionize,
         "upsert_latest": q_upsert_latest,
         "validate_doc_ids": q_validate_doc_ids,
+        "asof_login_value": q_asof_login_value,
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
@@ -1129,6 +1153,7 @@ def oracle_sql() -> dict:
         "events_sessionize": ORACLE_SESSIONIZE,
         "upsert_latest": ORACLE_UPSERT,
         "validate_doc_ids": ORACLE_VALIDATE,
+        "asof_login_value": ORACLE_ASOF,
         "cube_lineitem": ORACLE_CUBE,
         "pivot_linestatus": ORACLE_PIVOT,
         "set_ops_customers": ORACLE_SET_OPS,
