@@ -1044,6 +1044,25 @@ FROM lineitem GROUP BY l_partkey
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact percentiles per event type (Spark percentile() and DuckDB
+    quantile_cont share the linear-interpolation definition — verified
+    value-identical)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.count("*").alias("n"),
+    )
+
+
+ORACLE_PERCENTILES = """
+SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.95), 6) AS p95, count(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 def q_asof_login_value(spark, sf_dir):
     """As-of join (custom operator — Spark has no native one): for every
     'error' event, carry the value of the user's latest signup event at or
@@ -1109,6 +1128,7 @@ def queries() -> dict:
         "upsert_latest": q_upsert_latest,
         "validate_doc_ids": q_validate_doc_ids,
         "asof_login_value": q_asof_login_value,
+        "value_percentiles": q_value_percentiles,
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
@@ -1154,6 +1174,7 @@ def oracle_sql() -> dict:
         "upsert_latest": ORACLE_UPSERT,
         "validate_doc_ids": ORACLE_VALIDATE,
         "asof_login_value": ORACLE_ASOF,
+        "value_percentiles": ORACLE_PERCENTILES,
         "cube_lineitem": ORACLE_CUBE,
         "pivot_linestatus": ORACLE_PIVOT,
         "set_ops_customers": ORACLE_SET_OPS,
