@@ -80,3 +80,34 @@ def test_salted_repartition_uniform(spark):
     counts = [r["count"] for r in parts]
     assert len(counts) == 16
     assert max(counts) < 2 * (2000 / 16)  # no partition more than 2x mean
+
+
+def test_asof_join_carries_matched_rows_nulls(spark):
+    """A right row whose value is genuinely NULL must be carried AS NULL
+    (DuckDB ASOF semantics), not skipped for an older row's value; with
+    multiple value_cols every carried value comes from the SAME right row."""
+    from wikicrawler_spark.joins import asof_join
+
+    left = spark.createDataFrame([("u", 10), ("u", 20)], "user_id string, ts int")
+    right = spark.createDataFrame(
+        [("u", 5, 1.0, "a"), ("u", 15, None, "b")],
+        "user_id string, ts int, v double, tag string",
+    )
+    rows = {r["ts"]: r for r in asof_join(
+        left, right, on="ts", by="user_id", value_cols=["v", "tag"]
+    ).collect()}
+    assert rows[10]["v_asof"] == 1.0 and rows[10]["tag_asof"] == "a"
+    # ts=20 matches the ts=15 right row: v is its real NULL, tag is its 'b'
+    assert rows[20]["v_asof"] is None and rows[20]["tag_asof"] == "b"
+
+
+def test_asof_join_rejects_carried_name_collision(spark):
+    from wikicrawler_spark.joins import asof_join
+    import pytest
+
+    left = spark.createDataFrame([("u", 10, 9.9)],
+                                 "user_id string, ts int, v_asof double")
+    right = spark.createDataFrame([("u", 5, 1.0)],
+                                  "user_id string, ts int, v double")
+    with pytest.raises(ValueError, match="v_asof"):
+        asof_join(left, right, on="ts", by="user_id", value_cols=["v"])

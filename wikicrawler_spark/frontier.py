@@ -237,8 +237,12 @@ def crawl(
             out = out.unionByName(p)
         return out
 
+    # waves counts the CRAWL's total waves (recovered + run here), matching
+    # visited/spans/lineage which also include recovered waves; wave_sizes
+    # still lists only this invocation's waves (sizes of recovered waves
+    # live in the recovered metrics DataFrame).
     return CrawlResult(
-        waves=len(wave_sizes),
+        waves=start_wave + len(wave_sizes),
         visited=visited,
         spans=_union(spans_parts),
         lineage=_union(lineage_parts) or spark.createDataFrame([], LINEAGE_SCHEMA),

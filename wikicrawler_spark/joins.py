@@ -25,16 +25,27 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
     ``by``: equality key; ``value_cols``: right columns to carry.
     Returns every left row + carried right values (null when no right row
     precedes it)."""
-    l_tag = left.withColumn("__side", F.lit(1))
+    carried = [c + suffix for c in value_cols]
+    clash = [c for c in carried if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join: left already has column(s) {clash}; pick another suffix"
+        )
+
+    # Carry ONE struct per right row (never null, even when every member is
+    # null) so last(ignorenulls) picks the whole matched row atomically —
+    # a genuinely-NULL right value is carried AS NULL instead of being
+    # skipped for an older row's value (DuckDB ASOF semantics), and with
+    # multiple value_cols all carried values come from the same right row.
     r_tag = right.select(
         by, on,
-        *[F.col(c).alias(c + suffix) for c in value_cols],
+        F.struct(*[F.col(c) for c in value_cols]).alias("__payload"),
     ).withColumn("__side", F.lit(0))
-
-    carried = [c + suffix for c in value_cols]
-    for c in carried:
-        if c not in l_tag.columns:
-            l_tag = l_tag.withColumn(c, F.lit(None).cast(r_tag.schema[c].dataType))
+    payload_t = r_tag.schema["__payload"].dataType
+    l_tag = (
+        left.withColumn("__side", F.lit(1))
+        .withColumn("__payload", F.lit(None).cast(payload_t))
+    )
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # right rows (side 0) sort BEFORE left rows at equal ts -> <= semantics
@@ -43,7 +54,9 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: str, by: str,
         .orderBy(F.col(on).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = unioned
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.filter(F.col("__side") == 1).drop("__side")
+    out = unioned.withColumn(
+        "__payload", F.last("__payload", ignorenulls=True).over(w)
+    )
+    for c in value_cols:
+        out = out.withColumn(c + suffix, F.col("__payload")[c])
+    return out.filter(F.col("__side") == 1).drop("__side", "__payload")

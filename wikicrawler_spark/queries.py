@@ -475,16 +475,25 @@ SELECT doc_id, w1, w2, cnt, llr, rank::INT AS rank FROM ranked WHERE rank <= 15
 
 
 def q_sentence_slices(spark, sf_dir):
-    return A.sentence_slices(
+    # array columns are joined to US-separated scalars: the driver's
+    # canonicalizer sorts columns and cannot hash python lists (round-1 err)
+    s = A.sentence_slices(
         _docs_text(spark, sf_dir).withColumnRenamed("text", "body"), amount=0.1
+    )
+    sep = "\x1f"  # ASCII unit separator == chr(31) in the oracle
+    return s.select(
+        "doc_id",
+        F.concat_ws(sep, "first5").alias("first5"),
+        F.concat_ws(sep, "pivot").alias("pivot"),
+        F.concat_ws(sep, "last5").alias("last5"),
     )
 
 
 ORACLE_SLICES = """
 SELECT doc_id::VARCHAR AS doc_id,
-       CASE WHEN text = '' THEN [] ELSE [text] END AS first5,
-       []::VARCHAR[] AS pivot,
-       CASE WHEN text = '' THEN [] ELSE [text] END AS last5
+       CASE WHEN text = '' THEN '' ELSE text END AS first5,
+       '' AS pivot,
+       CASE WHEN text = '' THEN '' ELSE text END AS last5
 FROM documents
 """
 
@@ -946,9 +955,12 @@ def q_events_sessionize(spark, sf_dir):
         "session_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+    # sum as DECIMAL(18,6): exact, order-independent arithmetic so the hash
+    # matches DuckDB regardless of Spark's partial-agg accumulation order
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("session_value"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+        .cast("double").alias("session_value"),
     )
 
 
@@ -966,7 +978,7 @@ WITH g AS (
   FROM g
 )
 SELECT user_id, session_id, count(*) AS n_events,
-       round(sum(value), 4) AS session_value
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS session_value
 FROM s GROUP BY user_id, session_id
 """
 
@@ -1180,6 +1192,5 @@ def oracle_sql() -> dict:
         "set_ops_customers": ORACLE_SET_OPS,
         "distinct_suppliers_per_part": ORACLE_DISTINCT,
         # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
-        # sentence_slices included above; events sessionization omitted until
-        # its oracle is finished
+        # (their deterministic recall gates are oracled separately below)
     }

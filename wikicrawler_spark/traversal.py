@@ -27,7 +27,7 @@ from .analytics import (
     body_col,
     word_freq,
 )
-from .similarity import jaro_winkler
+from .similarity import jaro_winkler, jaro_winkler_udf
 
 
 def is_disambiguation(spans_df: DataFrame) -> DataFrame:
@@ -76,7 +76,9 @@ def search(spans_df: DataFrame, phrase: str, max_results: int = 20) -> DataFrame
             .filter(F.col("kind") == "link")
             .select(F.col("text").alias("title"), F.col("media_ref"))
         )
-        return links.limit(max_results).select(
+        # order BEFORE limit: a disambig page with > max_results links must
+        # yield a deterministic subset, not partition-order-dependent rows
+        return links.orderBy("title", "media_ref").limit(max_results).select(
             F.row_number().over(Window.orderBy("title")).alias("rank"),
             # kernel disambig links carry RELATIVE hrefs ('/wiki/X'); strip
             # the leading slash so results are corpus doc_ids ('wiki/X')
@@ -158,12 +160,20 @@ def autosearch(spark, spans_df: DataFrame, start_doc: str, n: int = 3,
                 hop.best_colloc = scored[0][1]
         probe = hop.best_colloc or hop.top_word
         result.hops.append(hop)
-        # next: most title-similar unvisited doc (search stand-in)
-        cand = titles.filter(~F.col("doc_id").isin(list(visited))).collect()
-        if not cand:
+        # next: most title-similar unvisited doc (search stand-in). Scored
+        # IN Spark with the vectorized JW UDF; argmax via ORDER BY + LIMIT 1
+        # so exactly one row crosses to the driver per hop (the round-1
+        # collect() shipped the whole title table n times per chain).
+        nxt = (
+            titles.filter(~F.col("doc_id").isin(list(visited)))
+            .withColumn("sim",
+                        jaro_winkler_udf(probe)(F.coalesce("title", F.lit(""))))
+            .orderBy(F.col("sim").desc(), F.col("doc_id").desc())
+            .limit(1)
+            .collect()
+        )
+        if not nxt:
             break
-        nxt = max(cand, key=lambda r: (jaro_winkler(r["title"] or "", probe),
-                                       r["doc_id"]))
-        current = nxt["doc_id"]
+        current = nxt[0]["doc_id"]
         visited.add(current)
     return result
