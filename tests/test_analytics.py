@@ -233,3 +233,90 @@ def test_sentiment_blend(spark):
         word = polarity_scores(r["word"])
         for k in ("neg", "neu", "pos", "compound"):
             assert abs(r["blended"][k] - (0.5 * sent[k] + 0.5 * word[k])) < 1e-9
+
+
+# ---- nltk 8-cell trigram LLR parity (reference: paragraph.py:89-93) ----
+# Pure-python replica of nltk.metrics.TrigramAssocMeasures.likelihood_ratio
+# + TrigramCollocationFinder.from_words marginals (published algorithm,
+# Manning & Schutze 5.3.4 as implemented in nltk.metrics.association).
+
+_SMALL = 1e-20
+
+
+def py_tri_llr(n_iii, n_iix_tuple, n_ixx_tuple, n_xxx):
+    import math
+
+    (n_iix, n_ixi, n_xii) = n_iix_tuple
+    (n_ixx, n_xix, n_xxi) = n_ixx_tuple
+    n_oii = n_xii - n_iii
+    n_ioi = n_ixi - n_iii
+    n_iio = n_iix - n_iii
+    n_ooi = n_xxi - n_iii - n_oii - n_ioi
+    n_oio = n_xix - n_iii - n_oii - n_iio
+    n_ioo = n_ixx - n_iii - n_ioi - n_iio
+    n_ooo = n_xxx - n_iii - n_oii - n_ioi - n_iio - n_ooi - n_oio - n_ioo
+    cont = (n_iii, n_oii, n_ioi, n_ooi, n_iio, n_oio, n_ioo, n_ooo)
+    n_all = sum(cont)
+    bits = [1, 2, 4]
+    total = 0.0
+    for i in range(8):
+        exp = 1.0
+        for j in bits:
+            exp *= sum(cont[x] for x in range(8) if (x & j) == (i & j))
+        exp /= n_all ** 2
+        obs = cont[i]
+        if obs > 0:
+            total += obs * math.log(obs / (exp + _SMALL) + _SMALL)
+    return 3 * total
+
+
+def py_trigrams(body: str, k: int = 10, min_freq: int = 3):
+    toks = py_tokens(body)
+    word_fd = Counter(toks)
+    bigram_fd = Counter(zip(toks, toks[1:]))
+    wild_fd = Counter(zip(toks, toks[2:]))
+    tri_fd = Counter(zip(toks, toks[1:], toks[2:]))
+    n_all = len(toks)
+    sw = set(A.ENGLISH_STOPWORDS)
+
+    def ok(w):
+        return len(w) >= 3 and w.lower() not in sw
+
+    scored = []
+    for (w1, w2, w3), cnt in tri_fd.items():
+        if cnt < min_freq or not (ok(w1) and ok(w2) and ok(w3)):
+            continue
+        llr = py_tri_llr(
+            cnt,
+            (bigram_fd[(w1, w2)], wild_fd[(w1, w3)], bigram_fd[(w2, w3)]),
+            (word_fd[w1], word_fd[w2], word_fd[w3]),
+            n_all,
+        )
+        scored.append((w1, w2, w3, cnt, round(llr, 6)))
+    scored.sort(key=lambda x: (-x[4], x[0], x[1], x[2]))
+    return scored[:k]
+
+
+def test_trigram_llr_nltk_8cell_parity(spark):
+    bodies = [
+        ("d1", ("star cluster core alpha " * 4)
+               + ("red dwarf star beta " * 3)
+               + "star cluster core omega point final words"),
+        ("d2", ("galaxy arm spiral dust lane " * 5) + "galaxy arm spiral end"),
+        ("d3", "tiny doc no repeats at all here"),
+    ]
+    df = spark.createDataFrame(bodies, "doc_id string, body string")
+    got = {}
+    for r in A.trigram_collocations(df, min_freq=2).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["w1"], r["w2"], r["w3"], r["cnt"], r["llr"])
+        )
+    for doc_id, body in bodies:
+        want = py_trigrams(body, min_freq=2)
+        rows = sorted(got.get(doc_id, []))
+        assert len(rows) == len(want), (doc_id, rows, want)
+        for (rank, w1, w2, w3, cnt, llr), (pw1, pw2, pw3, pcnt, pllr) in zip(
+            rows, want
+        ):
+            assert (w1, w2, w3, cnt) == (pw1, pw2, pw3, pcnt), doc_id
+            assert abs(llr - pllr) < 1e-6, (doc_id, w1, w2, w3, llr, pllr)

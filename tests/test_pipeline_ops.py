@@ -218,3 +218,15 @@ def test_multimodal_real_codec_is_marked_stub(spark):
     with pytest.raises(Exception) as ei:
         M.decode_and_featurize(assets, use_fake_codec=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+def test_ngram_jaccard_scale_guard_routes_to_lsh(near_dup_df):
+    import pytest as _pytest
+    from wikicrawler_spark.pipeline import dedup as D
+
+    with _pytest.warns(UserWarning, match="MinHash-LSH"):
+        guarded = D.ngram_jaccard_pairs(near_dup_df, threshold=0.5,
+                                        scale_guard=2)
+    lsh = D.minhash_near_duplicates(near_dup_df, threshold=0.5)
+    assert sorted(map(tuple, guarded.collect())) == \
+        sorted(map(tuple, lsh.collect()))

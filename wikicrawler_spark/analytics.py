@@ -214,38 +214,105 @@ def bigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
     )
 
 
+_NLTK_SMALL = 1e-20  # nltk.metrics.association._SMALL
+
+
+def _llr_trigram_8cell(n_iii: Column, n_iix: Column, n_ixi: Column,
+                       n_xii: Column, n_ixx: Column, n_xix: Column,
+                       n_xxi: Column, n_xxx: Column) -> Column:
+    """nltk ``TrigramAssocMeasures.likelihood_ratio`` natively (the measure
+    the reference requests, paragraph.py:89-93): the 8-cell contingency
+    cube from the seven marginals (nltk _contingency), independence-product
+    expected values, score = 3 * sum(obs * ln(obs/(exp+1e-20) + 1e-20))
+    (nltk scales by the ngram order, not 2). Cells with obs == 0 contribute
+    0 exactly as in nltk (0 * ln(eps) == 0); a NEGATIVE cell (possible only
+    because nltk's marginals mix word/bigram/trigram totals) contributes 0
+    where nltk would raise ValueError — pinned, unreachable on the
+    contiguous token streams this engine feeds."""
+    n_oii = n_xii - n_iii
+    n_ioi = n_ixi - n_iii
+    n_iio = n_iix - n_iii
+    n_ooi = n_xxi - n_iii - n_oii - n_ioi
+    n_oio = n_xix - n_iii - n_oii - n_iio
+    n_ioo = n_ixx - n_iii - n_ioi - n_iio
+    n_ooo = n_xxx - n_iii - n_oii - n_ioi - n_iio - n_ooi - n_oio - n_ioo
+    # per-dimension marginals recomputed from the cube (== n_ixx/n_xix/n_xxi
+    # by construction; sum(cont) == n_xxx)
+    m1_i, m2_i, m3_i = n_ixx, n_xix, n_xxi
+    m1_o, m2_o, m3_o = n_xxx - n_ixx, n_xxx - n_xix, n_xxx - n_xxi
+    cells = [  # (obs, m1, m2, m3) in nltk cont order: iii oii ioi ooi iio oio ioo ooo
+        (n_iii, m1_i, m2_i, m3_i), (n_oii, m1_o, m2_i, m3_i),
+        (n_ioi, m1_i, m2_o, m3_i), (n_ooi, m1_o, m2_o, m3_i),
+        (n_iio, m1_i, m2_i, m3_o), (n_oio, m1_o, m2_i, m3_o),
+        (n_ioo, m1_i, m2_o, m3_o), (n_ooo, m1_o, m2_o, m3_o),
+    ]
+    s = F.lit(0.0)
+    for obs, a, b, c in cells:
+        exp = a * b * c / (n_xxx * n_xxx)
+        s = s + F.when(
+            obs > 0,
+            obs * F.log(obs / (exp + F.lit(_NLTK_SMALL)) + F.lit(_NLTK_SMALL)),
+        ).otherwise(F.lit(0.0))
+    return 3.0 * s
+
+
 def trigram_collocations(doc_text_df: DataFrame, text_col: str = "body",
                          top_k: int = 10, min_freq: int = 3) -> DataFrame:
     """A7: top-k trigrams per doc, freq>=min_freq (apply_freq_filter(3),
-    paragraph.py:92), word-filtered, LLR-scored.
+    paragraph.py:92), word-filtered, scored with nltk's exact 8-cell
+    trigram likelihood ratio.
 
-    Scoring divergence (pinned; nltk unavailable): trigram LLR is the
-    Dunning 2x2 LLR of (prefix bigram w1w2, w3) co-occurrence — not nltk's
-    8-cell trigram contingency. Deterministic and SQL-expressible.
+    nltk's marginals come from FOUR different streams of one pass
+    (TrigramCollocationFinder.from_words): word_fd (all N words), bigram_fd
+    (N-1 adjacent pairs), wildcard_fd (N-2 (w1,_,w3) pairs), trigram_fd
+    (N-2 trigrams) — so the marginals canNOT be window-sums over the
+    trigram table (edge words would be dropped). Instead every row of the
+    positioned token stream gets its group counts via doc_id-prefixed
+    windows, and the pos+1/pos+2 words' counts arrive by lead()-ing those
+    count columns — the row at pos+1 already knows freq(w2) and
+    bigram(w2,w3). All windows and the final groupBy cluster by doc_id
+    prefixes, so the whole thing still costs ONE exchange.
     Returns (doc_id, w1, w2, w3, cnt, llr, rank)."""
     toks = _positioned_tokens(doc_text_df, text_col)
     w = Window.partitionBy("doc_id").orderBy("pos")
-    tri = (
+    base = (
         toks.withColumn("w2", F.lead("token", 1).over(w))
         .withColumn("w3", F.lead("token", 2).over(w))
-        .withColumnRenamed("token", "w1")
+        .withColumn("c_tok",
+                    F.count("*").over(Window.partitionBy("doc_id", "token")))
+        .withColumn("c_big",
+                    F.count("*").over(Window.partitionBy("doc_id", "token", "w2")))
+        .withColumn("c_wild",
+                    F.count("*").over(Window.partitionBy("doc_id", "token", "w3")))
+        .withColumn("c_tri",
+                    F.count("*").over(
+                        Window.partitionBy("doc_id", "token", "w2", "w3")))
+        .withColumn("n_all", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    en = (
+        base.withColumn("n_xix", F.lead("c_tok", 1).over(w))
+        .withColumn("n_xxi", F.lead("c_tok", 2).over(w))
+        .withColumn("n_xii", F.lead("c_big", 1).over(w))
         .filter(F.col("w3").isNotNull())
     )
-    # same one-exchange shape as bigrams: doc_id-prefixed window marginals
-    counts = tri.groupBy("doc_id", "w1", "w2", "w3").agg(F.count("*").alias("cnt"))
-    n_ix = F.sum("cnt").over(Window.partitionBy("doc_id", "w1", "w2"))
-    n_xi = F.sum("cnt").over(Window.partitionBy("doc_id", "w3"))
-    n_xx = F.sum("cnt").over(Window.partitionBy("doc_id"))
+    counts = en.groupBy(
+        "doc_id", F.col("token").alias("w1"), "w2", "w3"
+    ).agg(
+        F.min("c_tri").alias("cnt"),
+        F.min("c_big").alias("n_iix"),
+        F.min("c_wild").alias("n_ixi"),
+        F.min("n_xii").alias("n_xii"),
+        F.min("c_tok").alias("n_ixx"),
+        F.min("n_xix").alias("n_xix"),
+        F.min("n_xxi").alias("n_xxi"),
+        F.min("n_all").alias("n_xxx"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
     scored = (
-        counts.withColumn("n_ix", n_ix)
-        .withColumn("n_xi", n_xi)
-        .withColumn("n_xx", n_xx)
-        .filter(F.col("cnt") >= min_freq)  # after marginals (they need all
-        # trigrams), before the LLR math and ranking
-        .withColumn("llr", F.round(_llr(F.col("cnt").cast("double"),
-                                        F.col("n_ix").cast("double"),
-                                        F.col("n_xi").cast("double"),
-                                        F.col("n_xx").cast("double")), 6))
+        counts.filter(F.col("cnt") >= min_freq)
+        .withColumn("llr", F.round(_llr_trigram_8cell(
+            d("cnt"), d("n_iix"), d("n_ixi"), d("n_xii"),
+            d("n_ixx"), d("n_xix"), d("n_xxi"), d("n_xxx")), 6))
         .filter(_colloc_word_ok(F.col("w1")) & _colloc_word_ok(F.col("w2"))
                 & _colloc_word_ok(F.col("w3")))
     )

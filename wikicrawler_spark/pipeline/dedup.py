@@ -81,10 +81,32 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        scale_guard: int | None = 100_000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
     Inverted-index self-join; intersection via count, union via sizes.
-    Returns (id_a, id_b, jaccard)."""
+    Returns (id_a, id_b, jaccard).
+
+    The shingle self-join is O(pairs sharing a shingle) — quadratic in the
+    worst case, verification-scale only. ``scale_guard`` (default 100k
+    docs; None disables) counts the input once and, above the cap, routes
+    through MinHash-LSH (same threshold, exact-verified candidates — a
+    subset of this operator's output with probabilistic recall) instead of
+    letting the corpus-scale join detonate, with a loud warning."""
+    if scale_guard is not None:
+        n_docs = df.count()
+        if n_docs > scale_guard:
+            import warnings
+
+            warnings.warn(
+                f"ngram_jaccard_pairs: {n_docs} docs > scale_guard="
+                f"{scale_guard}; routing through MinHash-LSH (exact-verified"
+                " candidates, probabilistic recall). Pass scale_guard=None"
+                " to force the exact all-pairs path.",
+                stacklevel=2,
+            )
+            return minhash_near_duplicates(df, id_col, text_col, n=n,
+                                           threshold=threshold)
     sh = shingle_table(df, id_col, text_col, n)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
@@ -132,8 +154,15 @@ def minhash_lsh_candidates(sig_df: DataFrame, k: int = 16, bands: int = 4) -> Da
     pairs sharing >=1 band bucket."""
     assert k % bands == 0, "signature length must divide evenly into bands"
     r = k // bands
+    # band hash = the shared md5-derived _h60 over 'band_idx|m_i|m_j|...' —
+    # DuckDB computes the identical value, so the WHOLE LSH pipeline
+    # (signatures -> banding -> bucket join -> exact verify) is replayable
+    # by the driver's SQL oracle (round 1 had to leave it rows-only because
+    # F.hash is Spark-internal murmur)
     band_hashes = F.array(*[
-        F.hash(F.lit(j), *[F.col("sig")[j * r + t] for t in range(r)])
+        _h60(F.concat_ws("|", F.lit(str(j)),
+                         *[F.col("sig")[j * r + t].cast("string")
+                           for t in range(r)]))
         for j in range(bands)
     ])
     b = sig_df.select("id", F.posexplode(band_hashes).alias("band_idx", "band_hash"))

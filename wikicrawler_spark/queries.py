@@ -474,6 +474,97 @@ SELECT doc_id, w1, w2, cnt, llr, rank::INT AS rank FROM ranked WHERE rank <= 15
 """
 
 
+def q_trigram_collocations(spark, sf_dir):
+    """A7 with nltk's exact 8-cell LLR. min_freq=2 here (operator default
+    stays at the reference's apply_freq_filter(3)) so the synthetic docs
+    actually produce rows to gate on."""
+    return A.trigram_collocations(
+        _docs_text(spark, sf_dir).withColumnRenamed("text", "body"), min_freq=2
+    )
+
+
+def _oracle_trigrams(top_k: int = 10, min_freq: int = 2) -> str:
+    """DuckDB replay of the nltk 8-cell trigram LLR (marginals from the
+    four from_words streams: words, adjacent bigrams, (w1,_,w3) wildcards,
+    trigrams; n_xxx = total WORD count)."""
+    sw = _sql_stopwords()
+    # (obs, m1, m2, m3) in nltk cont order; m*_i are the marginals, m*_o
+    # their complements vs n_xxx
+    cube = [
+        ("n_iii", "n_ixx", "n_xix", "n_xxi"),
+        ("n_oii", "(n_xxx - n_ixx)", "n_xix", "n_xxi"),
+        ("n_ioi", "n_ixx", "(n_xxx - n_xix)", "n_xxi"),
+        ("n_ooi", "(n_xxx - n_ixx)", "(n_xxx - n_xix)", "n_xxi"),
+        ("n_iio", "n_ixx", "n_xix", "(n_xxx - n_xxi)"),
+        ("n_oio", "(n_xxx - n_ixx)", "n_xix", "(n_xxx - n_xxi)"),
+        ("n_ioo", "n_ixx", "(n_xxx - n_xix)", "(n_xxx - n_xxi)"),
+        ("n_ooo", "(n_xxx - n_ixx)", "(n_xxx - n_xix)", "(n_xxx - n_xxi)"),
+    ]
+    terms = " + ".join(
+        f"(CASE WHEN {o} > 0 THEN {o} * ln({o} / "
+        f"({a} * {b} * {c} / (n_xxx * n_xxx) + 1e-20) + 1e-20) "
+        f"ELSE 0 END)"
+        for o, a, b, c in cube
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         regexp_extract_all(text, '[A-Za-z0-9]+|[^\\s A-Za-z0-9]') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, i AS pos, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+  FROM toks, unnest(range(1, greatest(len(w), 0) + 1)) AS g(i)
+), uni AS (SELECT doc_id, w1 AS tok, count(*) AS c FROM pos GROUP BY 1, 2),
+big AS (SELECT doc_id, w1, w2, count(*) AS c FROM pos
+        WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+wild AS (SELECT doc_id, w1, w3, count(*) AS c FROM pos
+         WHERE w3 IS NOT NULL GROUP BY 1, 2, 3),
+tri AS (SELECT doc_id, w1, w2, w3, count(*) AS c FROM pos
+        WHERE w3 IS NOT NULL GROUP BY 1, 2, 3, 4),
+tot AS (SELECT doc_id, count(*) AS n FROM pos GROUP BY 1),
+m AS (
+  SELECT t.doc_id, t.w1, t.w2, t.w3, t.c AS cnt,
+         t.c::DOUBLE AS n_iii, b1.c::DOUBLE AS n_iix, wl.c::DOUBLE AS n_ixi,
+         b2.c::DOUBLE AS n_xii, u1.c::DOUBLE AS n_ixx, u2.c::DOUBLE AS n_xix,
+         u3.c::DOUBLE AS n_xxi, tot.n::DOUBLE AS n_xxx
+  FROM tri t
+  JOIN big b1 ON b1.doc_id = t.doc_id AND b1.w1 = t.w1 AND b1.w2 = t.w2
+  JOIN big b2 ON b2.doc_id = t.doc_id AND b2.w1 = t.w2 AND b2.w2 = t.w3
+  JOIN wild wl ON wl.doc_id = t.doc_id AND wl.w1 = t.w1 AND wl.w3 = t.w3
+  JOIN uni u1 ON u1.doc_id = t.doc_id AND u1.tok = t.w1
+  JOIN uni u2 ON u2.doc_id = t.doc_id AND u2.tok = t.w2
+  JOIN uni u3 ON u3.doc_id = t.doc_id AND u3.tok = t.w3
+  JOIN tot ON tot.doc_id = t.doc_id
+  WHERE t.c >= {min_freq}
+    AND length(t.w1) >= 3 AND NOT list_contains({sw}, lower(t.w1))
+    AND length(t.w2) >= 3 AND NOT list_contains({sw}, lower(t.w2))
+    AND length(t.w3) >= 3 AND NOT list_contains({sw}, lower(t.w3))
+), cube0 AS (
+  SELECT *, n_xii - n_iii AS n_oii, n_ixi - n_iii AS n_ioi,
+         n_iix - n_iii AS n_iio
+  FROM m
+), cube1 AS (
+  SELECT *, n_xxi - n_iii - n_oii - n_ioi AS n_ooi,
+         n_xix - n_iii - n_oii - n_iio AS n_oio,
+         n_ixx - n_iii - n_ioi - n_iio AS n_ioo
+  FROM cube0
+), cube2 AS (
+  SELECT *, n_xxx - n_iii - n_oii - n_ioi - n_iio - n_ooi - n_oio - n_ioo
+         AS n_ooo
+  FROM cube1
+), llr AS (
+  SELECT doc_id, w1, w2, w3, cnt, round(3.0 * ({terms}), 6) AS llr
+  FROM cube2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY llr DESC, w1, w2, w3) AS rank
+  FROM llr
+)
+SELECT doc_id, w1, w2, w3, cnt::BIGINT AS cnt, llr, rank::INT AS rank
+FROM ranked WHERE rank <= {top_k}
+"""
+
+
 def q_sentence_slices(spark, sf_dir):
     # array columns are joined to US-separated scalars: the driver's
     # canonicalizer sorts columns and cannot hash python lists (round-1 err)
@@ -627,9 +718,52 @@ SELECT id AS doc_id, ({pack})::BIGINT AS simhash FROM votes
 
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dups (approximate candidate generation + exact
-    verify). Not SQL-oracled: candidate recall is probabilistic by design;
-    pytest pins its behavior instead."""
+    verify). Fully SQL-oracled: signatures, banding (md5-derived band
+    hash), bucket join, and exact verify are all replayed by DuckDB."""
     return D.minhash_near_duplicates(_docs_text(spark, sf_dir), threshold=0.5)
+
+
+def _oracle_minhash_lsh(k: int = 16, bands: int = 4,
+                        threshold: float = 0.5) -> str:
+    """Bit-for-bit replay of minhash_near_duplicates (n=3, seed=42)."""
+    params = D._perm_params(k)
+    h = _SQL_H60.format(x="shingle")
+    mins = ",\n         ".join(
+        f"min(({a} * ({h} % 2147483647) + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    r = k // bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT id, {bh} AS bh, {j} AS j FROM sigs".format(
+            j=j,
+            bh=_SQL_H60.format(
+                x="concat_ws('|', '{}', {})".format(
+                    j, ", ".join(f"m{j * r + t}" for t in range(r)))),
+        )
+        for j in range(bands)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+"""
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -704,12 +838,60 @@ FROM ranked WHERE rank <= 5
 
 def q_lsh_ann_topk(spark, sf_dir):
     """Approximate ANN (multi-table hyperplane LSH + exact re-rank).
-    Approximation => no SQL oracle; recall pinned by pytest."""
+    Approximation => no SQL oracle for the top-k set itself; the
+    deterministic driver gate is q_lsh_ann_recall below."""
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("string").alias("vec_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id").cast("long") < 5)
     return S.lsh_cosine_topk(emb, queries, k=5, dim=64, n_planes=6, n_tables=8)
+
+
+def q_lsh_ann_recall(spark, sf_dir):
+    """Deterministic recall gate for the ANN path: per query, how much of
+    the EXACT cosine top-k the LSH ANN recovered, asserted against the
+    pytest-pinned floor (>= 0.6). The hyperplanes are seeded, so the recall
+    is a fixed number per dataset; the oracle asserts the floor holds."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").cast("long") < 5)
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ann = (
+        S.lsh_cosine_topk(emb, queries, k=5, dim=64, n_planes=6, n_tables=8)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_true"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"))
+    )
+    return per.select(
+        "query_id",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        (F.col("n_found") / F.col("n_true") >= 0.6).alias("recall_ok"),
+    )
+
+
+ORACLE_ANN_RECALL = """
+WITH e AS (SELECT vec_id::VARCHAR AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vid AS query_id, v AS qv FROM e WHERE vid::BIGINT < 5),
+pairs AS (
+  SELECT query_id, e.vid AS neighbor_id,
+         round(list_dot_product(qv, e.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(e.v, e.v))),
+               6) AS cos_sim
+  FROM q, e WHERE e.vid <> query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, count(*)::BIGINT AS n_true, true AS recall_ok
+FROM ranked WHERE rank <= 5 GROUP BY query_id
+"""
 
 
 # ------------------------------------------------------------- text quality
@@ -1119,6 +1301,7 @@ def queries() -> dict:
         "word_freq": q_word_freq,
         "argmax_freq": q_argmax_freq,
         "bigram_collocations": q_bigram_collocations,
+        "trigram_collocations": q_trigram_collocations,
         "sentence_slices": q_sentence_slices,
         "most_similar_token": q_most_similar_token,
         "dedup_exact_prefix": q_dedup_exact_prefix,
@@ -1129,6 +1312,7 @@ def queries() -> dict:
         "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_recall": q_lsh_ann_recall,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1167,6 +1351,7 @@ def oracle_sql() -> dict:
         "word_freq": ORACLE_WORD_FREQ,
         "argmax_freq": ORACLE_ARGMAX_FREQ,
         "bigram_collocations": ORACLE_BIGRAMS,
+        "trigram_collocations": _oracle_trigrams(),
         "sentence_slices": ORACLE_SLICES,
         "most_similar_token": ORACLE_MOST_SIMILAR,
         "dedup_exact_prefix": ORACLE_DEDUP_EXACT,
@@ -1175,6 +1360,8 @@ def oracle_sql() -> dict:
         "simhash": _oracle_simhash(),
         "simhash_near_dups": _oracle_simhash_pairs(),
         "cosine_topk": ORACLE_COSINE_TOPK,
+        "minhash_lsh_pairs": _oracle_minhash_lsh(),
+        "lsh_ann_recall": ORACLE_ANN_RECALL,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
