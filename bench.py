@@ -109,27 +109,39 @@ def extract_run(cores: int, corpus_path: str) -> dict:
     target = max(total_bytes // (cores * 8), 256 * 1024)
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
-    from wikicrawler_spark.kernel import extract_spans
+    from wikicrawler_spark.kernel import extract_from_parquet, extract_spans
 
     docs = spark.read.parquet(corpus_path)
     n = docs.count()
-    n_tasks = docs.rdd.getNumPartitions()
-    run_noop(extract_spans(docs))  # warm pass (untimed)
+    n_tasks = cores * 8
+    # headline path: scan-fused extraction (row-group splits read by
+    # pyarrow INSIDE the Arrow workers — skips the JVM columnar->row->Arrow
+    # double conversion of the nested spans column; ~1.3x the declarative
+    # scan, equality pinned by tests). The declarative extract_spans path
+    # is timed separately once at 32 cores (see --extract-run-std).
+    def fused():
+        run_noop(extract_from_parquet(spark, corpus_path, num_tasks=n_tasks))
+
+    fused()  # warm pass (untimed): JVM + python workers + split listing
     # the sandbox VM shows 1-7% steal time and noisy-neighbor swings;
     # min over passes estimates uncontended throughput (the caller also
     # min-merges across two interleaved subprocess rounds)
-    secs = min(_timed_pass(docs) for _ in range(1))
-    spark.stop()
-    return {"cores": cores, "docs": n, "secs": round(secs, 3),
-            "tasks": n_tasks, "docs_per_sec": round(n / secs, 2)}
-
-
-def _timed_pass(docs) -> float:
-    from wikicrawler_spark.kernel import extract_spans
-
     t0 = time.monotonic()
-    run_noop(extract_spans(docs))
-    return time.monotonic() - t0
+    fused()
+    secs = time.monotonic() - t0
+    out = {"cores": cores, "docs": n, "secs": round(secs, 3),
+           "tasks": n_tasks, "docs_per_sec": round(n / secs, 2)}
+    if cores == 32:  # declarative-scan passes for the fused-vs-std record
+        run_noop(extract_spans(docs))  # warm
+        std = None
+        for _ in range(2):  # min-of-2: single passes swing with host noise
+            t0 = time.monotonic()
+            run_noop(extract_spans(docs))
+            dt = time.monotonic() - t0
+            std = dt if std is None else min(std, dt)
+        out["std_docs_per_sec"] = round(n / std, 2)
+    spark.stop()
+    return out
 
 
 def calibrate_cpu() -> dict:
@@ -221,6 +233,10 @@ def main() -> None:
         "local8_secs": r8["secs"],
         "local32_docs_per_sec": thr32,
         "local32_secs": r32["secs"],
+        # declarative-scan (extract_spans over spark.read.parquet) at 32
+        # cores, for the fused-vs-std comparison; headline uses the fused
+        # scan (see extract_run)
+        "local32_std_scan_docs_per_sec": r32.get("std_docs_per_sec"),
         # N=2 vs 4N=8 (paired per-round, best round): both levels inside
         # the VM's REAL parallel capacity
             "efficiency_2_to_8": eff_2_8,

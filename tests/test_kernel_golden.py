@@ -276,3 +276,32 @@ def test_arrow_engine_equals_pandas_engine(spark):
     p = {r["doc_id"]: [tuple(s) for s in r["spans"]]
          for r in extract_spans(df, engine="pandas").collect()}
     assert a == p
+
+
+def test_extract_from_parquet_equals_extract_spans(spark, tmp_path):
+    """The scan-fused path (row-group splits read by pyarrow inside the
+    Arrow workers) must produce byte-identical spans to the declarative
+    spark.read.parquet -> extract_spans path, including across a shuffled
+    span order (the fused kernel's sortedness fast path must not change
+    results) and multi-file corpora."""
+    import random
+
+    from wikicrawler_spark.kernel import extract_from_parquet
+
+    docs = corpus.tiny_corpus()
+    rng = random.Random(7)
+    rows = []
+    for d in docs:
+        spans = [tuple(s.values()) for s in d["spans"]]
+        if rng.random() < 0.5:
+            rng.shuffle(spans)  # out-of-order offsets: forces the sort path
+        rows.append((d["doc_id"], spans))
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(rows, schema=corpus.DOC_SCHEMA) \
+        .repartition(5).write.parquet(path)
+
+    std = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+           for r in extract_spans(spark.read.parquet(path)).collect()}
+    fused = {r["doc_id"]: [tuple(s) for s in r["spans"]]
+             for r in extract_from_parquet(spark, path, num_tasks=3).collect()}
+    assert fused == std

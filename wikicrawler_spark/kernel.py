@@ -119,10 +119,11 @@ def extract_doc(doc_id: str, spans: Iterable, *, latex: bool = False) -> list[di
     ]
 
 
-def _extract_core(doc_id: str, ordered: list, latex: bool = False) -> list[tuple]:
+def _extract_core(doc_id: str, ordered: Iterable, latex: bool = False) -> list[tuple]:
     """Core extraction over (kind, text, media_ref) tuples pre-sorted by
-    offset. Returns output (kind, text, media_ref) tuples in canonical
-    order; callers assign dense offsets by enumeration."""
+    offset (any single-pass iterable, e.g. a zip over flat Arrow columns).
+    Returns output (kind, text, media_ref) tuples in canonical order;
+    callers assign dense offsets by enumeration."""
     parser = StreamParser()
 
     title: str | None = None
@@ -365,17 +366,33 @@ def make_arrow_kernel(*, latex: bool = False):
     ])
 
     def kernel(batches):
+        import numpy as np
+
         for batch in batches:
             doc_ids = batch.column(0).to_pylist()
             spans = batch.column(1)
             if isinstance(spans, pa.ChunkedArray):
                 spans = spans.combine_chunks()
-            lengths = spans.value_lengths().to_pylist()
+            lengths = spans.value_lengths().to_numpy(zero_copy_only=False)
             flat = spans.flatten()  # slice-safe
             kinds = flat.field("kind").to_pylist()
             texts = flat.field("text").to_pylist()
             refs = flat.field("media_ref").to_pylist()
-            soffs = flat.field("offset").to_pylist()
+            offs_np = flat.field("offset").to_numpy(zero_copy_only=False)
+
+            # Vectorized batch-level check: if every doc's offsets arrive
+            # already non-decreasing (the overwhelmingly common case — the
+            # generator and any parquet round-trip preserve order), skip the
+            # per-doc python sort AND the tuple rebuild entirely. A diff<0
+            # is only legal at a doc boundary (cumulative-length - 1).
+            d = np.diff(offs_np) if len(offs_np) > 1 else np.empty(0)
+            bad = np.flatnonzero(d < 0)
+            if bad.size:
+                boundaries = np.cumsum(lengths)[:-1] - 1
+                all_sorted = bool(np.isin(bad, boundaries).all())
+            else:
+                all_sorted = True
+            soffs = None if all_sorted else offs_np.tolist()
 
             o_k: list = []
             o_t: list = []
@@ -384,17 +401,23 @@ def make_arrow_kernel(*, latex: bool = False):
             list_offsets = [0]
             pos = 0
             for i, did in enumerate(doc_ids):
-                n = lengths[i] or 0
-                # stable sort on offset ONLY — a full-tuple sort would
-                # compare None texts (TypeError) and diverge from the
-                # pandas engine's offset-keyed stable sort on ties
-                seg = sorted(
-                    zip(soffs[pos:pos + n], kinds[pos:pos + n],
-                        texts[pos:pos + n], refs[pos:pos + n]),
-                    key=lambda t: t[0],
-                )
-                pos += n
-                outs = _extract_core(did, [(k, t, r) for _, k, t, r in seg], latex)
+                n = int(lengths[i])
+                end = pos + n
+                if all_sorted:
+                    seg = zip(kinds[pos:end], texts[pos:end], refs[pos:end])
+                else:
+                    # stable sort on offset ONLY — a full-tuple sort would
+                    # compare None texts (TypeError) and diverge from the
+                    # pandas engine's offset-keyed stable sort on ties
+                    seg = [
+                        (k, t, r) for _, k, t, r in sorted(
+                            zip(soffs[pos:end], kinds[pos:end],
+                                texts[pos:end], refs[pos:end]),
+                            key=lambda t: t[0],
+                        )
+                    ]
+                pos = end
+                outs = _extract_core(did, seg, latex)
                 for j, (k, t, r) in enumerate(outs):
                     o_k.append(k)
                     o_t.append(t)
@@ -456,6 +479,59 @@ def extract_spans(docs_df, *, latex: bool = False, engine: str = "arrow"):
     if engine == "arrow":
         return docs_df.mapInArrow(make_arrow_kernel(latex=latex), schema=DOC_DDL)
     return docs_df.mapInPandas(make_extract_kernel(latex=latex), schema=DOC_DDL)
+
+
+def extract_from_parquet(spark, path: str, *, latex: bool = False,
+                         num_tasks: int | None = None):
+    """Scan-fused extraction: distributes parquet ROW-GROUP splits to the
+    Arrow workers, which read their split with pyarrow's C++ reader and run
+    the kernel on the mmapped batches directly.
+
+    Why this exists: for (doc_id, spans array<struct>) rows the standard
+    ``spark.read.parquet -> mapInArrow`` path pays a JVM columnar->row
+    conversion plus a row->Arrow re-encode of the deeply nested column
+    before Python ever sees a byte (and the kernel itself is ~20% of the
+    stage time — measured with the 50k-doc breakdown in BENCH/BASELINE.md).
+    Co-locating the scan with the kernel removes both JVM conversions; the
+    cluster still gets Spark's scheduling, retries, and speculative
+    execution because each split is one ordinary task. On a production
+    Iceberg table the split list comes from the table's file manifest
+    (content files + row-group offsets) instead of a directory listing.
+
+    Trade-off vs the declarative scan (documented, deliberate): no catalyst
+    filter/column pushdown — correct here because extraction consumes every
+    row and both columns. Anything with a predicate should use
+    ``extract_spans(spark.read.parquet(...).filter(...))``.
+
+    Returns the same (doc_id, spans) DataFrame as ``extract_spans``;
+    equality is pinned by tests/test_kernel_golden.py.
+    """
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+    splits = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            if md.row_group(rg).num_rows:
+                splits.append((f, rg))
+    if not splits:
+        return spark.createDataFrame([], DOC_DDL)
+    n_tasks = min(num_tasks or len(splits), len(splits))
+    kern = make_arrow_kernel(latex=latex)
+
+    def read_and_extract(batches):
+        for b in batches:
+            for fpath, rg in zip(b.column(0).to_pylist(),
+                                 b.column(1).to_pylist()):
+                tbl = pq.ParquetFile(fpath).read_row_group(
+                    rg, columns=["doc_id", "spans"])
+                yield from kern(tbl.to_batches(max_chunksize=4096))
+
+    sdf = spark.createDataFrame(splits, "path string, rg int")
+    return sdf.repartition(n_tasks).mapInArrow(read_and_extract, schema=DOC_DDL)
 
 
 def explode_spans(spans_df):
