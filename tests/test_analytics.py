@@ -320,3 +320,47 @@ def test_trigram_llr_nltk_8cell_parity(spark):
         ):
             assert (w1, w2, w3, cnt) == (pw1, pw2, pw3, pcnt), doc_id
             assert abs(llr - pllr) < 1e-6, (doc_id, w1, w2, w3, llr, pllr)
+
+
+# ---- tokenizer backend switch (A2/A3 nltk parity behind import-try) ----
+
+def test_tokenizer_backend_default_and_validation():
+    from wikicrawler_spark import nltk_compat
+
+    assert A.tokenizer_backend() == "regex"
+    with pytest.raises(ValueError):
+        A.set_tokenizer_backend("punkt5000")
+    if not nltk_compat.HAS_NLTK:
+        with pytest.raises(RuntimeError, match="nltk"):
+            A.set_tokenizer_backend("nltk")
+        assert A.tokenizer_backend() == "regex"  # unchanged on failure
+
+
+def test_tokenizer_backend_nltk_parity(spark):
+    """Only runs where nltk + punkt data exist: the UDF path must equal
+    direct nltk calls (reference: paragraph.py:72-73)."""
+    from wikicrawler_spark import nltk_compat
+
+    if not nltk_compat.HAS_NLTK:
+        pytest.skip("nltk absent in this runtime")
+    from nltk.tokenize import sent_tokenize, word_tokenize
+
+    bodies = [
+        "Dr. Smith went to Washington. He arrived at 5 p.m. sharp!",
+        "Contractions don't confuse PTB, e.g. isn't and won't.",
+        "",
+    ]
+    df = spark.createDataFrame([(str(i), b) for i, b in enumerate(bodies)],
+                               "doc_id string, body string")
+    A.set_tokenizer_backend("nltk")
+    try:
+        rows = {r["doc_id"]: (list(r["s"]), list(r["t"])) for r in df.select(
+            "doc_id",
+            A.sentences_col(F.col("body")).alias("s"),
+            A.tokens_col(F.col("body")).alias("t"),
+        ).collect()}
+    finally:
+        A.set_tokenizer_backend("regex")
+    for i, b in enumerate(bodies):
+        assert rows[str(i)][0] == (sent_tokenize(b) if b else [])
+        assert rows[str(i)][1] == (word_tokenize(b) if b else [])

@@ -177,3 +177,28 @@ def test_resume_with_bloom(spark, graph_df, tmp_path, crawl_exact):
     got = {(r["doc_id"], r["wave"]) for r in resumed.visited.collect()}
     want = {(r["doc_id"], r["wave"]) for r in crawl_exact.visited.collect()}
     assert got == want
+
+
+def test_bucketed_visited_equals_plain_and_colocates(spark, graph_df,
+                                                     tmp_path, crawl_exact):
+    """visited_buckets: same crawl result, and the anti-join against the
+    bucketed visited table needs NO exchange on the visited side (the probe
+    side shuffles into the bucket layout instead)."""
+    res = crawl(spark, graph_df, ids([0, 1]), max_waves=30, use_bloom=False,
+                ckpt_dir=str(tmp_path / "ck"), visited_buckets=4)
+    assert sorted(r["doc_id"] for r in res.visited.collect()) == \
+        sorted(r["doc_id"] for r in crawl_exact.visited.collect())
+    assert res.waves == crawl_exact.waves
+
+    # plan audit: bucketed side joins without an Exchange even when
+    # broadcast is off (the growing-table side never reshuffles)
+    probe = spark.createDataFrame(
+        [(d,) for d in ids([0, 5, 7, 9999])], "doc_id string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (probe.join(res.visited.select("doc_id"), "doc_id", "left_anti")
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Exchange") == 1, plan  # probe side only

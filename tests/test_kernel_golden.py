@@ -305,3 +305,32 @@ def test_extract_from_parquet_equals_extract_spans(spark, tmp_path):
     fused = {r["doc_id"]: [tuple(s) for s in r["spans"]]
              for r in extract_from_parquet(spark, path, num_tasks=3).collect()}
     assert fused == std
+
+
+def test_latex_converter_extended_grammar():
+    """Pinned conversions for the round-2 grammar extensions (reference
+    pipes paragraphs through pylatexenc, grabber.py:177-180)."""
+    from wikicrawler_spark.latexconv import latex_to_text as lt
+
+    assert lt("a \\text{plain words} b") == "a plain words b"
+    assert lt("\\mathrm{proof} and \\operatorname{argmax}") == "proof and argmax"
+    assert lt("\\sqrt{x}") == "√(x)"
+    assert lt("\\sqrt{\\frac{1}{2}}") == "√(1/2)"
+    assert lt("mv^2 and x^{10}") == "mv² and x¹⁰"
+    assert lt("x_i + y_{2}") == "xᵢ + y₂"
+    assert lt("z^\\alpha stays") == "z^α stays"  # unmapped: marker kept
+    assert lt("\\begin{equation}E = mc^2\\end{equation}") == "E = mc²"
+    assert lt("\\begin{matrix}a & b\\end{matrix}") == "a & b"
+    assert lt("no latex here") == "no latex here"
+
+
+def test_latex_family_roundtrip():
+    doc = corpus.generate_doc("latex_math", 0)
+    got = extract_doc(doc["doc_id"], doc["spans"], latex=True)
+    paras = [s["text"] for s in got if s["kind"] == "paragraph"]
+    joined = " ".join(paras)
+    assert "\\" not in joined and "{" not in joined
+    assert "√(xᵢ)" in joined          # \sqrt{x_i}
+    assert "mv²" in joined                 # mv^2
+    assert "kinetic" in joined                  # \text{}
+    assert "E = mc²" in joined             # environment-as-noop

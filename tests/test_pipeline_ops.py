@@ -208,8 +208,8 @@ def test_multimodal_decode_plumbing(spark):
     assert sorted(map(str, decoded)) == sorted(map(str, again))
 
 
-def test_multimodal_real_codec_is_marked_stub(spark):
-    from py4j.protocol import Py4JJavaError
+@pytest.mark.skipif(M.HAS_PIL, reason="PIL present: real codec active")
+def test_multimodal_real_codec_is_marked_stub_without_pil(spark):
     from wikicrawler_spark import corpus
     from wikicrawler_spark.kernel import extract_spans
 
@@ -218,6 +218,29 @@ def test_multimodal_real_codec_is_marked_stub(spark):
     with pytest.raises(Exception) as ei:
         M.decode_and_featurize(assets, use_fake_codec=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(ei.value, NotImplementedError)
+
+
+@pytest.mark.skipif(not M.HAS_PIL, reason="PIL absent in this runtime")
+def test_multimodal_real_codec_decodes_png(spark):
+    """With Pillow present the real path decodes actual PNG bytes through
+    the same featurize pipeline (runs on PIL-equipped machines)."""
+    import io
+
+    from PIL import Image
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    Image.fromarray(np.arange(48, dtype=np.uint8).reshape(6, 8)).save(buf, "PNG")
+    assets = spark.createDataFrame(
+        [("d0", "ref0", "image", bytearray(buf.getvalue()), None)],
+        M.MEDIA_ASSET_SCHEMA,
+    )
+    rows = M.decode_and_featurize(assets).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["width"], r["height"]) == (8, 6)
+    assert abs(sum(r["feature"]) - 1.0) < 1e-6
 
 
 def test_ngram_jaccard_scale_guard_routes_to_lsh(near_dup_df):

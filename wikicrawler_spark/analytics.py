@@ -60,6 +60,34 @@ ENGLISH_STOPWORDS = [
 TOKEN_PATTERN = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
 SENTENCE_SPLIT = "(?<=[.!?])\\s+"
 
+# Tokenizer backend: 'regex' (default — native, codegen, what every golden
+# and oracle is computed against) or 'nltk' (reference-exact punkt/PTB via
+# Arrow-batched pandas UDFs; only selectable when nltk + punkt data are
+# importable — see nltk_compat.py). Explicit opt-in, never autodetected.
+_TOKENIZER_BACKEND = "regex"
+
+
+def set_tokenizer_backend(backend: str) -> None:
+    """Switch sentence/word tokenization between the pinned native regex
+    spec and nltk punkt/PTB (reference parity, paragraph.py:72-73)."""
+    global _TOKENIZER_BACKEND
+    if backend not in ("regex", "nltk"):
+        raise ValueError(f"unknown tokenizer backend {backend!r}")
+    if backend == "nltk":
+        from . import nltk_compat
+
+        if not nltk_compat.HAS_NLTK:
+            raise RuntimeError(
+                "nltk backend requested but nltk (or its punkt model data) "
+                "is not importable in this runtime; the pinned regex spec "
+                "remains active"
+            )
+    _TOKENIZER_BACKEND = backend
+
+
+def tokenizer_backend() -> str:
+    return _TOKENIZER_BACKEND
+
 
 # ------------------------------------------------- per-doc transforms (A1-A4)
 
@@ -77,12 +105,24 @@ def body_col(spans: Column) -> Column:
 
 
 def sentences_col(body: Column) -> Column:
-    """A2: sentence split on terminal punctuation (pinned spec)."""
+    """A2: sentence tokenization. Default: split on terminal punctuation
+    (pinned native spec); with the 'nltk' backend: punkt via pandas UDF
+    (reference-exact, paragraph.py:72)."""
+    if _TOKENIZER_BACKEND == "nltk":
+        from . import nltk_compat
+
+        return nltk_compat.nltk_sentences(body)
     return F.filter(F.split(body, SENTENCE_SPLIT), lambda s: s != F.lit(""))
 
 
 def tokens_col(body: Column) -> Column:
-    """A3: regexp tokenizer (pinned spec), native regexp_extract_all."""
+    """A3: word tokenization. Default: native regexp_extract_all (pinned
+    spec); with the 'nltk' backend: Penn-Treebank via pandas UDF
+    (reference-exact, paragraph.py:73)."""
+    if _TOKENIZER_BACKEND == "nltk":
+        from . import nltk_compat
+
+        return nltk_compat.nltk_word_tokens(body)
     return F.regexp_extract_all(body, F.lit(TOKEN_PATTERN), F.lit(0))
 
 

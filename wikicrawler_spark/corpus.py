@@ -229,6 +229,12 @@ def gen_latex_math(index: int, seed: int = SEED, n_total: int = 1000) -> list[di
     spans.append(_span("html",
                        f"<p>The constant \\alpha equals \\frac{{{rng.randint(1, 9)}}}{{{rng.randint(2, 9)}}} here.</p>"))
     spans.append(_span("html", "<p>Also \\beta and \\Omega appear, with $x$ inline.</p>"))
+    spans.append(_span("html",
+                       "<p>Energy \\text{kinetic} is \\frac{1}{2}mv^2 and "
+                       "\\sqrt{x_i} grows as n^{10}.</p>"))
+    spans.append(_span("html",
+                       "<p>\\begin{equation}E = mc^2\\end{equation} closes "
+                       "\\mathrm{proof} q_j here.</p>"))
     spans.append(_span("html", _para(rng, 2, [])))
     spans.append(_span("html", _CLOSE_SCOPE))
     return _finalize(spans)

@@ -82,6 +82,26 @@ def last_complete_wave(ckpt_dir: str) -> int:
     return best
 
 
+def _write_visited_bucketed(spark, df: DataFrame, path: str,
+                            n_buckets: int, wave: int) -> DataFrame:
+    """Write visited as a Spark-native bucketed+sorted parquet table and
+    return the CATALOG-backed DataFrame (the bucketing spec only exists in
+    the catalog; reading the path directly would lose it). Table name is
+    derived from the checkpoint path so concurrent crawls don't collide."""
+    import re as _re
+
+    tbl = "wcs_visited_{}_{:05d}".format(
+        _re.sub(r"[^A-Za-z0-9]", "_", path)[-48:].strip("_"), wave
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        df.write.mode("overwrite").format("parquet")
+        .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
+        .option("path", path).saveAsTable(tbl)
+    )
+    return spark.table(tbl)
+
+
 def crawl(
     spark,
     docs: DataFrame,
@@ -97,6 +117,7 @@ def crawl(
     broadcast_threshold: int = 1_000_000,
     keep_spans: bool = True,
     latex: bool = False,
+    visited_buckets: int | None = None,
 ) -> CrawlResult:
     """Run the frontier BFS from ``seeds`` over the ``docs`` table.
 
@@ -217,8 +238,24 @@ def crawl(
             metrics = spark.read.parquet(_wave_dir(ckpt_dir, wave, "metrics"))
             nxt.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
             nxt = spark.read.parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
-            new_visited.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "visited"))
-            new_visited = spark.read.parquet(_wave_dir(ckpt_dir, wave, "visited"))
+            if visited_buckets:
+                # bucketed-by-doc_id visited table: the NEXT wave's exact
+                # anti-join co-locates on the visited side (no exchange on
+                # the table that grows without bound; only the tiny
+                # maybe_seen probe shuffles into the bucket layout). In
+                # production this is an Iceberg table with a bucket(doc_id)
+                # partition transform — there the layout survives sessions;
+                # parquet bucketing metadata lives in the session catalog,
+                # so a RESUME in a fresh session reads the same files as
+                # plain parquet (correct, just unbucketed until rewritten).
+                new_visited = _write_visited_bucketed(
+                    spark, new_visited,
+                    _wave_dir(ckpt_dir, wave, "visited"),
+                    visited_buckets, wave,
+                )
+            else:
+                new_visited.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "visited"))
+                new_visited = spark.read.parquet(_wave_dir(ckpt_dir, wave, "visited"))
         else:
             # keep plans bounded without a checkpoint dir
             nxt = nxt.localCheckpoint(eager=True)

@@ -30,16 +30,61 @@ _GREEK = {
 _FRAC_RE = re.compile(r"\\frac\{([^{}]*)\}\{([^{}]*)\}")
 _CMD_RE = re.compile(r"\\([A-Za-z]+)")
 
+# text-mode wrappers: contents kept verbatim (LatexNodes2Text renders the
+# argument of these macros as-is)
+_TEXT_CMD_RE = re.compile(
+    r"\\(?:text|textrm|textbf|textit|texttt|mathrm|mathbf|mathit|"
+    r"operatorname)\{([^{}]*)\}"
+)
+_SQRT_RE = re.compile(r"\\sqrt\{([^{}]*)\}")
+# environments are structure, not content: markers dropped, contents kept
+_ENV_RE = re.compile(r"\\(?:begin|end)\{[A-Za-z*]+\}")
+# ^{abc} / _{abc} / ^c / _c (single non-space char)
+_SCRIPT_RE = re.compile(r"([\^_])\{([^{}]*)\}|([\^_])(\S)")
+
+_SUPERSCRIPT = dict(zip("0123456789+-=()ni",
+                        "\u2070\u00b9\u00b2\u00b3\u2074\u2075\u2076\u2077"
+                        "\u2078\u2079\u207a\u207b\u207c\u207d\u207e\u207f"
+                        "\u2071"))
+_SUBSCRIPT = dict(zip("0123456789+-=()aehijklmnoprstuvx",
+                      "\u2080\u2081\u2082\u2083\u2084\u2085\u2086\u2087"
+                      "\u2088\u2089\u208a\u208b\u208c\u208d\u208e\u2090"
+                      "\u2091\u2095\u1d62\u2c7c\u2096\u2097\u2098\u2099"
+                      "\u2092\u209a\u1d63\u209b\u209c\u1d64\u1d65\u2093"))
+
+
+def _script_repl(m: re.Match) -> str:
+    marker = m.group(1) or m.group(3)
+    content = m.group(2) if m.group(2) is not None else m.group(4)
+    table = _SUPERSCRIPT if marker == "^" else _SUBSCRIPT
+    if content and all(c in table for c in content):
+        return "".join(table[c] for c in content)
+    return marker + content  # unmapped: keep marker, drop braces (pinned)
+
 
 def latex_to_text(text: str) -> str:
-    """Deterministic LaTeX fragment -> unicode. Identity on plain text."""
-    if "\\" not in text and "$" not in text:
+    """Deterministic LaTeX fragment -> unicode. Identity on plain text.
+
+    Pinned approximation of pylatexenc's LatexNodes2Text over the fixture
+    grammar (the library is absent from this runtime; the reference uses it
+    at grabber.py:177-180): environments-as-noop, \\text-family wrappers
+    keep their argument, \\sqrt{x} -> \u221a(x), \\frac{a}{b} -> a/b,
+    ^/_ scripts -> unicode super/subscripts when every char has a form
+    (else the marker is kept and braces dropped), greek/symbol commands via
+    the table above, unknown commands keep their name, then $ { } are
+    stripped. Alignment chars (&, \\\\) inside environments are left as-is
+    (pinned divergence: pylatexenc renders tabular alignment)."""
+    if ("\\" not in text and "$" not in text and "^" not in text
+            and "_" not in text):
         return text
-    # \frac{a}{b} -> a/b (repeat for simple nesting resolved inside-out)
+    text = _ENV_RE.sub("", text)
     prev = None
-    while prev != text:
+    while prev != text:  # resolve simple nesting inside-out
         prev = text
+        text = _TEXT_CMD_RE.sub(r"\1", text)
+        text = _SQRT_RE.sub("\u221a(\\1)", text)
         text = _FRAC_RE.sub(r"\1/\2", text)
     text = _CMD_RE.sub(lambda m: _GREEK.get(m.group(1), m.group(1)), text)
+    text = _SCRIPT_RE.sub(_script_repl, text)
     text = text.replace("$", "").replace("{", "").replace("}", "")
     return text

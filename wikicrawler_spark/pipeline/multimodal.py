@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode step itself is STUBBED (image/audio libraries are not in this
-runtime — decode_batch raises NotImplementedError unless the deterministic
-fake codec is requested), but everything Spark-side is real and tested:
-schemas, Arrow batch shapes, mapInPandas signatures, partition sizing.
-A production deployment swaps ``_decode_fake`` for a PIL/libav call — the
-plan shape does not change.
+Image decode tries PIL at module import (import-try, same pattern as
+sentiment.py's VADER): when Pillow is present, ``decode_and_featurize``
+decodes real image bytes (grayscale) with the identical downstream
+featurize path; when absent (this runtime), the real-decode path raises
+NotImplementedError at plan-execution time and the deterministic fake
+codec is the test path. Everything Spark-side is real and tested either
+way: schemas, Arrow batch shapes, mapInPandas signatures, partition
+sizing. Audio/video decode would follow the same import-try with libav.
 
 Fake codec format (deterministic, test-only):
     b"FAKEIMG:<width>,<height>:" + pixel bytes (row-major, 1 byte/px)
@@ -14,12 +16,21 @@ Fake codec format (deterministic, test-only):
 
 # NOTE: no `from __future__ import annotations` — the pandas_udf below needs
 # real pd.Series type hints, not strings.
+import io
 from typing import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
+
+try:  # import-try: real codec when the runtime ships Pillow
+    from PIL import Image as _PILImage
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - runtime-dependent
+    _PILImage = None
+    HAS_PIL = False
 
 MEDIA_ASSET_SCHEMA = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
@@ -52,16 +63,33 @@ def make_fake_image(doc_id: str, media_ref: str, w: int = 8, h: int = 6) -> byte
     return b"FAKEIMG:%d,%d:" % (w, h) + px.tobytes()
 
 
+def _decode_pil(payload):
+    """Real decode via Pillow (grayscale), same (w, h, 2-D float array)
+    contract as the fake codec; undecodable bytes -> None (row skipped)."""
+    if payload is None:
+        return None
+    try:
+        img = _PILImage.open(io.BytesIO(bytes(payload))).convert("L")
+        return img.width, img.height, np.asarray(img, dtype=np.float64)
+    except Exception:  # noqa: BLE001 — corrupt bytes are data, not bugs
+        return None
+
+
 def decode_and_featurize(assets: DataFrame, *, feature_dim: int = 16,
                          use_fake_codec: bool = False) -> DataFrame:
     """mapInPandas decode + feature extraction. One Arrow batch in, one out;
-    per-batch numpy work, no per-row Python UDFs. Real codecs are not
-    available in this runtime: with use_fake_codec=False this raises
-    NotImplementedError at plan-execution time (clearly-marked stub)."""
+    per-batch numpy work, no per-row Python UDFs. Decoder selection:
+    use_fake_codec=True -> deterministic test codec; else PIL when the
+    runtime has it (import-try above); else NotImplementedError at
+    plan-execution time (clearly-marked stub in PIL-less runtimes)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not use_fake_codec:
+            if use_fake_codec:
+                decode = _decode_fake
+            elif HAS_PIL:
+                decode = _decode_pil
+            else:
                 raise NotImplementedError(
                     "real image decode requires PIL/libav (not in this "
                     "runtime); pass use_fake_codec=True for the "
@@ -70,7 +98,7 @@ def decode_and_featurize(assets: DataFrame, *, feature_dim: int = 16,
             rows = []
             for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
                                             pdf["payload"]):
-                decoded = _decode_fake(payload)
+                decoded = decode(payload)
                 if decoded is None:
                     continue
                 w, h, img = decoded

@@ -474,6 +474,53 @@ SELECT doc_id, w1, w2, cnt, llr, rank::INT AS rank FROM ranked WHERE rank <= 15
 """
 
 
+def q_latex_paragraphs(spark, sf_dir):
+    """E4 end-to-end through the REAL kernel with latex=True: documents.text
+    wrapped in a deterministic LaTeX template (\\text{}, \\frac, scripts,
+    \\sqrt, environment markers); the oracle rebuilds the expected unicode
+    with plain string concat. Docs whose text contains latex-active chars
+    are excluded on BOTH sides so the template is the only latex input."""
+    d = load(spark, sf_dir, "documents").filter(
+        ~F.col("text").rlike(r"[\\^_${}]")
+    )
+    wrapped = d.select(
+        F.concat(F.lit("wiki/doc_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.array(
+            F.struct(F.lit("html").alias("kind"),
+                     F.lit('<div id="mw-content-text"><div class="mw-parser-output">').alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(0).cast("int").alias("offset")),
+            F.struct(F.lit("html").alias("kind"),
+                     F.concat(
+                         F.lit("<p>\\begin{proof}Per \\text{unit} "
+                               "\\frac{1}{2}mv^2: "),
+                         F.col("text"),
+                         F.lit(" \\sqrt{x_i} q^{12}\\end{proof}</p>"),
+                     ).alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(1).cast("int").alias("offset")),
+            F.struct(F.lit("html").alias("kind"),
+                     F.lit("</div></div>").alias("text"),
+                     F.lit(None).cast("string").alias("media_ref"),
+                     F.lit(2).cast("int").alias("offset")),
+        ).alias("spans"),
+    )
+    return (
+        _flat(extract_spans(wrapped, latex=True))
+        .filter(F.col("kind") == "paragraph")
+        .select("doc_id", F.col("text").alias("paragraph"))
+    )
+
+
+ORACLE_LATEX = """
+SELECT 'wiki/doc_' || doc_id AS doc_id,
+       'Per unit 1/2mv²: ' || text || ' √(xᵢ) q¹²'
+         AS paragraph
+FROM documents
+WHERE NOT regexp_matches(text, '[\\^_${}]')
+"""
+
+
 def q_trigram_collocations(spark, sf_dir):
     """A7 with nltk's exact 8-cell LLR. min_freq=2 here (operator default
     stays at the reference's apply_freq_filter(3)) so the synthetic docs
@@ -1302,6 +1349,7 @@ def queries() -> dict:
         "argmax_freq": q_argmax_freq,
         "bigram_collocations": q_bigram_collocations,
         "trigram_collocations": q_trigram_collocations,
+        "latex_paragraphs": q_latex_paragraphs,
         "sentence_slices": q_sentence_slices,
         "most_similar_token": q_most_similar_token,
         "dedup_exact_prefix": q_dedup_exact_prefix,
@@ -1352,6 +1400,7 @@ def oracle_sql() -> dict:
         "argmax_freq": ORACLE_ARGMAX_FREQ,
         "bigram_collocations": ORACLE_BIGRAMS,
         "trigram_collocations": _oracle_trigrams(),
+        "latex_paragraphs": ORACLE_LATEX,
         "sentence_slices": ORACLE_SLICES,
         "most_similar_token": ORACLE_MOST_SIMILAR,
         "dedup_exact_prefix": ORACLE_DEDUP_EXACT,
