@@ -16,6 +16,7 @@ S2) and a checkpointed parquet sink (exactly-once file sink semantics).
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .kernel import extract_spans
 from .schemas import DOC_SCHEMA
@@ -72,4 +73,78 @@ def stream_span_rates(spark, input_dir: str, *, window: str = "10 seconds"):
         flat.withWatermark("ingest_ts", "0 seconds")
         .groupBy(F.window("ingest_ts", window), "kind")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def stream_sessionize(events, *, gap_minutes: int = 30):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
+    gap-based sessionization of an event stream — the streaming twin of the
+    batch ``queries.q_events_sessionize`` (same 30-min gap rule, same
+    (user_id, session_id, n_events, session_value) output).
+
+    State per user: (last event time in micros, current session ordinal,
+    its running count and value sum). Each micro-batch sorts its rows by
+    (ts, event_id), replays them through the gap rule, and EMITS one row
+    per session whose aggregates changed in that batch (output mode
+    'update'). A session's successive emissions have strictly increasing
+    n_events, so the consumer's latest value per (user_id, session_id) —
+    equivalently the row with max n_events — is the final aggregate; an
+    open session's row simply keeps updating until its gap closes it.
+
+    Arrival-order contract (standard for gap sessionization): events for a
+    user must not time-travel ACROSS micro-batches (within a batch any
+    order is fine — the batch is sorted). Late data beyond that needs a
+    watermark + window-based rewrite; the corpus carries no event-time
+    semantics (SURVEY §2.5), so this operator pins the simple contract.
+
+    ``session_value`` is emitted unrounded (a float sum in event order);
+    the batch query rounds decimals — compare with a tolerance.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    key_type = events.schema["user_id"].dataType  # adopt the input's key type
+    out_type = T.StructType([
+        T.StructField("user_id", key_type),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("session_value", T.DoubleType()),
+    ])
+    state_type = T.StructType([
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ])
+    gap_us = gap_minutes * 60_000_000
+
+    def fn(key, pdfs, state):
+        user = key[0]
+        parts = [pdf for pdf in pdfs if len(pdf)]
+        if not parts:
+            return
+        ev = pd.concat(parts).sort_values(["ts", "event_id"])
+        if state.exists:
+            last_ts, sess, n, val = state.get
+        else:
+            last_ts, sess, n, val = None, 0, 0, 0.0
+        changed: dict[int, tuple[int, float]] = {}
+        ts_us = (ev["ts"].astype("int64") // 1000).tolist()
+        for t, v in zip(ts_us, ev["value"].tolist()):
+            if last_ts is None or t - last_ts > gap_us:
+                sess += 1
+                n = 0
+                val = 0.0
+            n += 1
+            val += float(v)
+            last_ts = t
+            changed[sess] = (n, val)
+        state.update((last_ts, sess, n, val))
+        yield pd.DataFrame(
+            [(user, s, c, v) for s, (c, v) in sorted(changed.items())],
+            columns=["user_id", "session_id", "n_events", "session_value"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_type, state_type, "update", GroupStateTimeout.NoTimeout
     )
