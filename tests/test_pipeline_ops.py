@@ -145,6 +145,46 @@ def test_lsh_topk_recall(emb):
             assert abs(r["cos_sim"] - ex[key]) < 1e-9
 
 
+def test_embedding_near_dups_exact_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .selectExpr("cast(vec_id as long) vec_id", "embedding")
+    got = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in S.embedding_near_duplicates(emb, threshold=0.4,
+                                                method="exact").collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    ids = sorted(vecs)
+    want = {}
+    for i, a in enumerate(ids):
+        va = vecs[a]
+        for b in ids[i + 1:]:
+            vb = vecs[b]
+            c = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+            if c >= 0.4:
+                want[(a, b)] = c
+    assert got == want
+    assert len(got) > 0  # the gate is meaningful on this dataset
+
+
+def test_embedding_near_dups_lsh_recall_and_truth(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
+        .selectExpr("cast(vec_id as long) vec_id", "embedding")
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in S.embedding_near_duplicates(emb, threshold=0.4,
+                                                  method="exact").collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in S.embedding_near_duplicates(emb, threshold=0.4,
+                                                method="lsh").collect()}
+    # LSH output is a subset of the exact truth (verify step is exact) ...
+    assert set(lsh) <= set(exact)
+    # ... with identical cosines on the pairs it finds ...
+    for k in lsh:
+        assert abs(lsh[k] - exact[k]) < 1e-9
+    # ... and seeded-deterministic recall above the pinned floor.
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"embedding LSH recall too low: {recall}"
+
+
 # ---------------------------------------------------------- text quality
 
 def test_token_counts_vs_python(docs):

@@ -941,6 +941,69 @@ FROM ranked WHERE rank <= 5 GROUP BY query_id
 """
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, EXACT path (the oracle/verification
+    member; the corpus-scale path is the LSH-blocked variant gated by
+    q_embedding_near_dups_recall). vec_id kept as bigint so id_a < id_b
+    means the same thing in Spark and DuckDB."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return S.embedding_near_duplicates(emb, threshold=0.4, method="exact")
+
+
+ORACLE_EMB_NEAR_DUPS = """
+WITH e AS (SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vid AS id_a, b.vid AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cos_sim
+  FROM e a JOIN e b ON a.vid < b.vid
+)
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
+"""
+
+
+def q_embedding_near_dups_recall(spark, sf_dir):
+    """Deterministic recall gate for the LSH-blocked embedding near-dup
+    path: what fraction of the EXACT >= 0.4 pair set the seeded-hyperplane
+    blocking recovered. 4 planes x 16 tables give >= 0.93 expected recall
+    at the threshold boundary; the gate pins >= 0.8. Single-row output so
+    the oracle is a constant-shape assertion."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    exact = S.embedding_near_duplicates(emb, threshold=0.4, method="exact") \
+        .select("id_a", "id_b")
+    lsh = S.embedding_near_duplicates(emb, threshold=0.4, method="lsh") \
+        .select("id_a", "id_b").withColumn("hit", F.lit(1))
+    return (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .agg(F.count("*").cast("bigint").alias("n_true"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_found"))
+        .select("n_true",
+                (F.col("n_found") / F.col("n_true") >= 0.8).alias("recall_ok"))
+    )
+
+
+def _oracle_emb_recall() -> str:
+    # n_found (the Spark-side LSH hit count) is not SQL-replayable (seeded
+    # hyperplanes), so like ORACLE_ANN_RECALL the oracle pins n_true (exact
+    # truth) and asserts the Spark side's recall_ok boolean came out true.
+    return """
+WITH e AS (SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+               6) AS cos_sim
+  FROM e a JOIN e b ON a.vid < b.vid
+)
+SELECT count(*)::BIGINT AS n_true, true AS recall_ok
+FROM pairs WHERE cos_sim >= 0.4
+"""
+
+
 # ------------------------------------------------------------- text quality
 
 def q_token_counts(spark, sf_dir):
@@ -1361,6 +1424,8 @@ def queries() -> dict:
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1411,6 +1476,8 @@ def oracle_sql() -> dict:
         "cosine_topk": ORACLE_COSINE_TOPK,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "lsh_ann_recall": ORACLE_ANN_RECALL,
+        "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
+        "embedding_near_dups_recall": _oracle_emb_recall(),
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
