@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from . import analytics as A
 from .kernel import extract_spans
 from .pipeline import dedup as D
+from .pipeline import layout as L
 from .pipeline import simsearch as S
 from .pipeline import text_quality as Q
 from .similarity import most_similar
@@ -1004,6 +1005,127 @@ FROM pairs WHERE cos_sim >= 0.4
 """
 
 
+# -------------------------------------------------------------- PDF layout
+
+def _synth_layout_blocks(docs):
+    """Deterministic layout-block synthesis from documents.text (both
+    engines replay it): tokens chunked 8-per-block, 10 blocks per page laid
+    out in two columns, font 24 for block 0 / 18 for each page's first
+    block / 12 otherwise, plus a running header and a 'page N' footer per
+    page. Gives every classifier branch real work: multi-page docs get
+    their furniture stripped, single-page docs keep it (repetition needs
+    >= 2 pages), big fonts become headings, 'table ...' blocks captions."""
+    toks = F.filter(F.split(F.lower(F.col("text")), "\\s+"),
+                    lambda t: t != F.lit(""))
+    d = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    d = d.withColumn(
+        "block_idx",
+        F.explode(F.sequence(
+            F.lit(0), (F.ceil(F.size("toks") / F.lit(8.0)) - 1).cast("int"))),
+    )
+    slot = F.col("block_idx") % 10
+    body = d.select(
+        "doc_id",
+        (F.col("block_idx") / 10).cast("int").alias("page"),
+        (F.lit(36) + (slot % 2) * 306).cast("double").alias("x"),
+        (F.lit(60) + F.floor(slot / 2) * 90).cast("double").alias("y"),
+        F.lit(240.0).alias("w"), F.lit(80.0).alias("h"),
+        F.when(F.col("block_idx") == 0, 24.0)
+        .when(slot == 0, 18.0).otherwise(12.0).alias("font_size"),
+        F.array_join(F.slice("toks", F.col("block_idx") * 8 + 1, 8), " ")
+        .alias("text"),
+    )
+    pages = body.select("doc_id", "page").distinct()
+    hdr = pages.select(
+        "doc_id", "page", F.lit(36.0).alias("x"), F.lit(18.0).alias("y"),
+        F.lit(540.0).alias("w"), F.lit(12.0).alias("h"),
+        F.lit(9.0).alias("font_size"),
+        F.concat(F.lit("running header "), F.col("doc_id")).alias("text"),
+    )
+    ftr = pages.select(
+        "doc_id", "page", F.lit(36.0).alias("x"), F.lit(770.0).alias("y"),
+        F.lit(540.0).alias("w"), F.lit(12.0).alias("h"),
+        F.lit(9.0).alias("font_size"),
+        F.concat(F.lit("page "), (F.col("page") + 1).cast("string")).alias("text"),
+    )
+    return body.unionByName(hdr).unionByName(ftr)
+
+
+def q_pdf_layout_spans(spark, sf_dir):
+    """The layout-analysis plane (pipeline.layout.layout_spans) driven over
+    deterministically synthesized blocks: header/footer strip via cross-page
+    repetition, median-font heading detection, two-column reading order.
+    The binary parse stage (FAKEPDF / pypdf) is pytest-covered; this query
+    oracles the native classifier itself."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return L.layout_spans(_synth_layout_blocks(docs))
+
+
+ORACLE_PDF_LAYOUT = r"""
+WITH d AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), d2 AS (SELECT doc_id, toks FROM d WHERE len(toks) > 0),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(ceil(len(toks) / 8.0)::BIGINT)) AS block_idx
+  FROM d2
+), body AS (
+  SELECT doc_id,
+         (block_idx // 10)::INT AS page,
+         (36 + (block_idx % 10 % 2) * 306)::DOUBLE AS x,
+         (60 + ((block_idx % 10) // 2) * 90)::DOUBLE AS y,
+         240.0 AS w, 80.0 AS h,
+         CASE WHEN block_idx = 0 THEN 24.0
+              WHEN block_idx % 10 = 0 THEN 18.0 ELSE 12.0 END AS font_size,
+         array_to_string(toks[(block_idx*8+1)::INT : (block_idx*8+8)::INT],
+                         ' ') AS text
+  FROM idx
+), pages AS (SELECT DISTINCT doc_id, page FROM body),
+hdr AS (
+  SELECT doc_id, page, 36.0 AS x, 18.0 AS y, 540.0 AS w, 12.0 AS h,
+         9.0 AS font_size, 'running header ' || doc_id AS text FROM pages
+), ftr AS (
+  SELECT doc_id, page, 36.0 AS x, 770.0 AS y, 540.0 AS w, 12.0 AS h,
+         9.0 AS font_size, 'page ' || (page + 1)::VARCHAR AS text FROM pages
+), blocks AS (
+  SELECT doc_id, page, x, y, w, h, font_size, text FROM body
+  UNION ALL SELECT * FROM hdr UNION ALL SELECT * FROM ftr
+), b AS (
+  SELECT *, regexp_replace(lower(text), '[0-9]+', '#', 'g') AS norm_text,
+         CASE WHEN w >= 306 THEN 0
+              WHEN x + w/2 < 306 THEN 0 ELSE 1 END AS rcol
+  FROM blocks
+), per_doc AS (
+  SELECT doc_id, count(DISTINCT page) AS n_pages,
+         median(font_size::DOUBLE) AS median_font
+  FROM b GROUP BY doc_id
+), reps AS (
+  SELECT doc_id, norm_text, count(DISTINCT page) AS n_rep_pages
+  FROM b GROUP BY doc_id, norm_text
+), scored AS (
+  SELECT b.*, per_doc.n_pages, per_doc.median_font, reps.n_rep_pages,
+         ((reps.n_rep_pages >= greatest(2, ceil(per_doc.n_pages / 2)))
+          AND (b.y <= 40 OR b.y >= 720)) AS is_boiler,
+         CASE WHEN b.font_size >= per_doc.median_font * 1.2 THEN 'heading'
+              WHEN regexp_matches(lower(b.text), '^(figure|table) ')
+                THEN 'caption'
+              ELSE 'paragraph' END AS kind
+  FROM b
+  JOIN per_doc USING (doc_id)
+  JOIN reps USING (doc_id, norm_text)
+)
+SELECT doc_id, kind, text,
+       (row_number() OVER (PARTITION BY doc_id
+                           ORDER BY page, rcol, y, x, text) - 1)::INT AS offset
+FROM scored WHERE NOT is_boiler
+"""
+
+
 # ------------------------------------------------------------- text quality
 
 def q_token_counts(spark, sf_dir):
@@ -1426,6 +1548,7 @@ def queries() -> dict:
         "lsh_ann_recall": q_lsh_ann_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
+        "pdf_layout_spans": q_pdf_layout_spans,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1478,6 +1601,7 @@ def oracle_sql() -> dict:
         "lsh_ann_recall": ORACLE_ANN_RECALL,
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
         "embedding_near_dups_recall": _oracle_emb_recall(),
+        "pdf_layout_spans": ORACLE_PDF_LAYOUT,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
