@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from . import analytics as A
 from .kernel import extract_spans
 from .pipeline import dedup as D
+from .graph import pagerank, pagerank_oracle_sql
 from .pipeline import layout as L
 from .pipeline import simsearch as S
 from .pipeline import text_quality as Q
@@ -1005,6 +1006,37 @@ FROM pairs WHERE cos_sim >= 0.4
 """
 
 
+# ---------------------------------------------------------------- pagerank
+
+_PAGERANK_EDGES_SQL = """
+SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                'o' || l_orderkey::VARCHAR AS dst
+FROM lineitem
+UNION ALL
+SELECT 'o' || o_orderkey::VARCHAR AS src,
+       'c' || o_custkey::VARCHAR AS dst
+FROM orders
+"""
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank over the supplier -> order -> customer bipartite-chain graph
+    (the driver-gate stand-in for the crawl's wikilink edge table, which is
+    rows-only by nature). Customers have no out-edges, so the dangling-mass
+    branch does real work. 6 iterations, damping 0.85."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    eo = li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("dst"),
+    ).distinct()
+    oc = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("src"),
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("dst"),
+    )
+    return pagerank(eo.unionByName(oc), iterations=6, damping=0.85)
+
+
 # -------------------------------------------------------------- PDF layout
 
 def _synth_layout_blocks(docs):
@@ -1549,6 +1581,7 @@ def queries() -> dict:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "pdf_layout_spans": q_pdf_layout_spans,
+        "pagerank_orders": q_pagerank,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1602,6 +1635,8 @@ def oracle_sql() -> dict:
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
         "embedding_near_dups_recall": _oracle_emb_recall(),
         "pdf_layout_spans": ORACLE_PDF_LAYOUT,
+        "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
+                                               iterations=6, damping=0.85),
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
