@@ -48,6 +48,9 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "lsh_ann_topk",
+    "embedding_near_dups_lsh",
+    "ivf_ann_recall",
+    "pdf_layout_spans",
     "token_counts",
     "quality_scores",
     "language_id",

@@ -145,6 +145,31 @@ def test_lsh_topk_recall(emb):
             assert abs(r["cos_sim"] - ex[key]) < 1e-9
 
 
+def test_ivf_topk_recall(emb):
+    queries = emb.limit(5)
+    exact = S.cosine_topk(emb, queries, k=5)
+    approx = S.ivf_cosine_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # probed candidates are re-ranked with TRUE cosines
+    ex = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in exact.collect()}
+    for r in approx.collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in ex:
+            assert abs(r["cos_sim"] - ex[key]) < 1e-9
+
+
+def test_ivf_deterministic_across_partitionings(emb):
+    queries = emb.limit(3)
+    a = sorted(map(tuple, S.ivf_cosine_topk(
+        emb.repartition(1), queries, k=5).collect()))
+    b = sorted(map(tuple, S.ivf_cosine_topk(
+        emb.repartition(7), queries, k=5).collect()))
+    assert a == b
+
+
 def test_embedding_near_dups_exact_vs_numpy(spark):
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet") \
         .selectExpr("cast(vec_id as long) vec_id", "embedding")

@@ -1,6 +1,6 @@
 """Similarity search over an embedding column (array<float>).
 
-Two paths:
+Three paths:
   * ``cosine_topk``       — brute-force exact top-k: broadcast the (small)
                             query set against the corpus, cosine via native
                             zip_with + aggregate (JVM-side), per-query top-k
@@ -13,6 +13,15 @@ Two paths:
                             cosine re-rank on candidates only. The 10^12-
                             scale path: the bucket equi-join replaces the
                             full cross product.
+  * ``ivf_cosine_topk``   — inverted-file index (IVF-flat): a coarse
+                            k-means quantizer assigns every corpus vector
+                            to its nearest centroid; queries probe the
+                            ``nprobe`` nearest centroid lists and re-rank
+                            exactly. Training runs seeded Lloyd iterations
+                            on a BOUNDED sample on the driver (standard
+                            IVF practice — the codebook is tiny; the
+                            corpus-side assignment is a broadcast matmul
+                            per Arrow batch, fully distributed).
 
 Bucketing uses ONE vectorized pandas UDF doing a numpy matmul per Arrow
 batch (P×d hyperplane matrix broadcast) — batched linear algebra is the
@@ -46,6 +55,93 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                       F.col(vec_col).cast("array<double>").alias("cv"))
     scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")) \
         .withColumn("cos_sim", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    rk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def train_ivf_centroids(df: DataFrame, *, n_centroids: int = 16,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        sample_cap: int = 100_000, iterations: int = 10,
+                        seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means on a bounded, deterministic sample: orderBy(id)
+    + limit compiles to TakeOrderedAndProject (per-partition top-k + merge,
+    no full shuffle), so the training set is stable across partitionings
+    and bounded on the driver. Returns an L2-normalized (n_centroids, dim)
+    codebook; cosine assignment = argmax dot with normalized centroids."""
+    sample = np.stack([
+        np.asarray(r[0], dtype=np.float64)
+        for r in df.select(id_col, vec_col).orderBy(id_col)
+        .limit(sample_cap).select(vec_col).collect()
+    ])
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True),
+                                 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                              replace=False)]
+    for _ in range(iterations):
+        assign = np.argmax(sample @ cents.T, axis=1)
+        for c in range(len(cents)):
+            members = sample[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def _ivf_assign_udf(cents: np.ndarray, top: int = 1):
+    """Pandas UDF: vector -> array of its ``top`` nearest centroid ids
+    (broadcast codebook, one matmul per Arrow batch)."""
+    c = cents  # (k, dim), L2-normalized
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vs: pd.Series) -> pd.Series:
+        if not len(vs):
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = m @ c.T
+        order = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return assign
+
+
+def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    n_centroids: int = 16, nprobe: int = 4,
+                    iterations: int = 10, seed: int = 42) -> DataFrame:
+    """ANN top-k via IVF-flat: corpus vectors live in ONE centroid list
+    each; queries probe their ``nprobe`` nearest lists; exact cosine
+    re-rank on the probed candidates. The centroid equi-join bounds
+    candidates to the probed lists' occupancy — never a cross product.
+    Returns (query_id, neighbor_id, cos_sim, rank)."""
+    cents = train_ivf_centroids(corpus, n_centroids=n_centroids,
+                                id_col=id_col, vec_col=vec_col,
+                                iterations=iterations, seed=seed)
+    c_assign = _ivf_assign_udf(cents, top=1)
+    q_assign = _ivf_assign_udf(cents, top=nprobe)
+    c = (
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+        .withColumn("cell", F.explode(c_assign(F.col("cv"))))
+    )
+    q = (
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+        .withColumn("cell", F.explode(q_assign(F.col("qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", F.round(_cosine(F.col("qv"), F.col("cv")), 6))
+    )
     rk = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
     )

@@ -943,6 +943,34 @@ FROM ranked WHERE rank <= 5 GROUP BY query_id
 """
 
 
+def q_ivf_ann_recall(spark, sf_dir):
+    """Deterministic recall gate for the IVF-flat ANN path (seeded k-means
+    codebook, so recall is a fixed number per dataset), same contract as
+    q_lsh_ann_recall: per query, fraction of the exact cosine top-5
+    recovered, asserted >= 0.6."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("vec_id"), "embedding"
+    )
+    queries = emb.filter(F.col("vec_id").cast("long") < 5)
+    exact = S.cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    ann = (
+        S.ivf_cosine_topk(emb, queries, k=5, n_centroids=16, nprobe=8)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    per = (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_true"),
+             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_found"))
+    )
+    return per.select(
+        "query_id",
+        F.col("n_true").cast("bigint").alias("n_true"),
+        (F.col("n_found") / F.col("n_true") >= 0.6).alias("recall_ok"),
+    )
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs, EXACT path (the oracle/verification
     member; the corpus-scale path is the LSH-blocked variant gated by
@@ -965,6 +993,17 @@ pairs AS (
 )
 SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 """
+
+
+def q_embedding_near_dups_lsh(spark, sf_dir):
+    """The LSH-blocked scale path on its own (rows-only: candidates are
+    probabilistic; q_embedding_near_dups_recall is the deterministic gate).
+    This is the member bench.py times — the exact all-pairs member is
+    O(n^2) by definition and exists for verification."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    return S.embedding_near_duplicates(emb, threshold=0.4, method="lsh")
 
 
 def q_embedding_near_dups_recall(spark, sf_dir):
@@ -1578,7 +1617,9 @@ def queries() -> dict:
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
+        "ivf_ann_recall": q_ivf_ann_recall,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "pdf_layout_spans": q_pdf_layout_spans,
         "pagerank_orders": q_pagerank,
@@ -1632,6 +1673,7 @@ def oracle_sql() -> dict:
         "cosine_topk": ORACLE_COSINE_TOPK,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
         "lsh_ann_recall": ORACLE_ANN_RECALL,
+        "ivf_ann_recall": ORACLE_ANN_RECALL,  # same exact-truth assertion
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
         "embedding_near_dups_recall": _oracle_emb_recall(),
         "pdf_layout_spans": ORACLE_PDF_LAYOUT,
