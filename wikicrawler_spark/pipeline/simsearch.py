@@ -181,16 +181,23 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.4,
         pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     elif method == "lsh":
         bucketer = bucket_udf(dim, n_planes, n_tables, seed)
+        # candidate generation runs on a SLIM (id, table, bucket) table —
+        # the bucket self-join and the pair dedup shuffle ids only (the
+        # ~dim*8-byte vectors would otherwise ride through both shuffles
+        # n_tables times); vectors re-attach to the surviving pairs below
+        # (AQE broadcasts the vector side when it fits)
         t = c.withColumn("buckets", bucketer(F.col("v"))).select(
-            "id", "v", F.posexplode("buckets").alias("table_idx", "bucket"))
-        a = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
-                     "table_idx", "bucket")
-        b = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
-                     "table_idx", "bucket")
+            "id", F.posexplode("buckets").alias("table_idx", "bucket"))
+        a = t.select(F.col("id").alias("id_a"), "table_idx", "bucket")
+        b = t.select(F.col("id").alias("id_b"), "table_idx", "bucket")
         pairs = (
             a.join(b, ["table_idx", "bucket"])
             .filter(F.col("id_a") < F.col("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            .join(c.select(F.col("id").alias("id_a"), F.col("v").alias("va")),
+                  "id_a")
+            .join(c.select(F.col("id").alias("id_b"), F.col("v").alias("vb")),
+                  "id_b")
         )
     else:
         raise ValueError(f"unknown method {method!r} (exact|lsh)")

@@ -34,6 +34,14 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
 
 
+def _profile_hits(toks: Column, words: list[str]) -> Column:
+    """Count of tokens that belong to ``words``, via an IN-list predicate:
+    with >= 10 literals Catalyst compiles In to InSet (hash-set probe per
+    token) instead of the O(|profile|) array scan array_contains does —
+    identical values, faster, and the DuckDB oracle replays IN directly."""
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish subword count per doc (native)."""
     return df.select(
@@ -51,9 +59,8 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     composite [0,1] score. Pure column arithmetic."""
     toks = _tokens(F.col(text_col))
     n_tok = F.size(toks)
-    en = F.array(*[F.lit(w) for w in LANG_PROFILES["en"]])
     stop_ratio = F.when(n_tok > 0,
-                        F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+                        _profile_hits(toks, LANG_PROFILES["en"])
                         / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         F.length(text_col) > 0,
@@ -92,11 +99,10 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in sorted(LANG_PROFILES):
         if lang == "zh":
             continue
-        prof = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
         scores.append(
             F.struct(
-                (F.size(F.filter(toks, lambda t: F.array_contains(prof, t)))
-                 / n_tok).alias("score"),
+                (_profile_hits(toks, LANG_PROFILES[lang]) / n_tok)
+                .alias("score"),
                 F.lit(lang).alias("lang"),
             )
         )
