@@ -26,7 +26,21 @@ Scale notes per operator:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Give generation-heavy operators (shingle explode, token explode)
+    enough input partitions to parallelize: a single-file corpus scans as
+    ONE task, and since Spark 's broadcast-join planning can keep the whole
+    explode+join pipeline on that task, the expensive generation runs
+    serially (measured 4x on the sf0.1 single-file table). One slim
+    round-robin shuffle of the raw docs fixes it; no-op when the scan is
+    already spread (so a well-partitioned 100 TB table never pays it)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 # 60-bit md5-derived hash — identical in DuckDB (see module doc)
 def _h60(col):
@@ -72,27 +86,78 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), n)).alias("shingle"),
+                  n: int = 3, with_size: bool = False) -> DataFrame:
+    """Exploded (id, shingle) rows; with_size=True also carries the doc's
+    distinct-shingle count INLINE (F.size before the explode — codegen CSE
+    computes the array once), so consumers never need the separate
+    groupBy(id).count() pass + join that round-1 paid."""
+    arr = word_shingles(F.col(text_col), n)
+    if with_size:
+        # two-step projection ON PURPOSE: 'arr' must be an attribute before
+        # size() and explode() both reference it — CollapseProject keeps a
+        # multiply-referenced alias un-inlined, so the shingle array is
+        # built once per DOC. Inlining the expression into both slots makes
+        # the generator recompute it per exploded ROW (measured 30x).
+        tmp = df.select(F.col(id_col).alias("id"), arr.alias("__arr"))
+        return tmp.select("id", F.size("__arr").alias("sz"),
+                          F.explode("__arr").alias("shingle"))
+    return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("shingle"))
+
+
+def _verify_jaccard(cands: DataFrame, shz: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate (id_a, id_b) pairs via the shingle
+    inverted index (``shz`` = shingle_table(with_size=True)) — streams,
+    no per-doc collected shingle arrays, and sizes ride along with the
+    index rows instead of needing their own aggregation + joins. Shared
+    by the exact (prefix-filtered) path and the MinHash-LSH path."""
+    a = shz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+                   "shingle")
+    b = shz.select(F.col("id").alias("__idb"), F.col("sz").alias("sz_b"),
+                   F.col("shingle").alias("__shb"))
+    inter = (
+        cands.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("__idb"))
+              & (F.col("shingle") == F.col("__shb")))
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter
+        .withColumn("jaccard", F.col("inter")
+                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.8,
-                        scale_guard: int | None = 100_000) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
-    Inverted-index self-join; intersection via count, union via sizes.
+                        scale_guard: int | None = 100_000,
+                        prefix_filter: bool = False) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs (id_a < id_b, jaccard >= t).
     Returns (id_a, id_b, jaccard).
 
-    The shingle self-join is O(pairs sharing a shingle) — quadratic in the
-    worst case, verification-scale only. ``scale_guard`` (default 100k
-    docs; None disables) counts the input once and, above the cap, routes
-    through MinHash-LSH (same threshold, exact-verified candidates — a
-    subset of this operator's output with probabilistic recall) instead of
-    letting the corpus-scale join detonate, with a loud warning."""
+    Default plan: ONE shingle generation per join side (sizes ride inline
+    with the index rows — no separate size aggregation or joins), the
+    inverted-index self-join with the size-ratio bound
+    t*|A| <= |B| <= |A|/t as a join predicate, and intersection counting
+    directly in the pair groupBy.
+
+    ``prefix_filter=True`` adds AllPairs/PPJoin-style PREFIX FILTERING
+    (Bayardo et al., WWW'07), which is also exact: under any consistent
+    total order on shingles, two sets with J >= t MUST collide within
+    their first (|S| - ceil(t*|S|) + 1) shingles, so only prefix rows
+    enter the join, at the cost of a per-doc row_number window and a
+    separate verify pass. Worth it when candidate fan-out (not shingle
+    generation) dominates — i.e. high thresholds over corpora with heavy
+    shingle sharing; the two paths are equality-tested.
+
+    Either way the self-join is worst-case quadratic; ``scale_guard``
+    (default 100k docs; None disables) counts the input once and, above
+    the cap, routes through MinHash-LSH (same threshold, exact-verified
+    candidates — probabilistic recall) with a loud warning."""
     if scale_guard is not None:
         n_docs = df.count()
         if n_docs > scale_guard:
@@ -107,26 +172,45 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             )
             return minhash_near_duplicates(df, id_col, text_col, n=n,
                                            threshold=threshold)
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
+    shz = shingle_table(_spread(df), id_col, text_col, n, with_size=True)
+    size_bound = (
+        (F.col("b.sz") >= F.lit(threshold) * F.col("a.sz"))
+        & (F.col("a.sz") >= F.lit(threshold) * F.col("b.sz"))
+    )
+    if not prefix_filter:
+        a, b = shz.alias("a"), shz.alias("b")
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")) & size_bound)
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+        return (
+            inter
+            .withColumn("jaccard", F.col("inter")
+                        / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+        )
+    # global shingle order = (xxhash64, shingle): any consistent total
+    # order is correct; hashing first spreads the frequent shingles away
+    # from every doc's prefix head so prefix buckets stay balanced
+    w = Window.partitionBy("id").orderBy(F.xxhash64("shingle"), "shingle")
+    pref = (
+        shz.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn")
+                <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+        .select("id", "shingle", "sz")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-               & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
+               & (F.col("a.id") < F.col("b.id")) & size_bound)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
     )
-    return (
-        inter.join(sizes.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard",
-                    F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verify_jaccard(cands, shz, threshold)
 
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -137,7 +221,7 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     Returns (id, sig array<bigint> length k)."""
     params = _perm_params(k, seed)
     sh = (
-        shingle_table(df, id_col, text_col, n)
+        shingle_table(_spread(df), id_col, text_col, n)
         .withColumn("h", _h60(F.col("shingle")) % F.lit(_P31))
     )
     aggs = [
@@ -184,41 +268,22 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> EXACT jaccard verification on candidates only.
     Returns (id_a, id_b, jaccard >= threshold)."""
+    df = _spread(df)
     sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
     cands = minhash_lsh_candidates(sigs, k, bands)
     # exact verification via the shingle inverted index restricted to
     # candidate pairs — no per-doc collect_set arrays (a giant doc would
     # otherwise materialize its whole shingle set in one row; the index
     # join streams instead, and shuffles only candidate docs' shingles)
-    sh = shingle_table(df, id_col, text_col, n)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.withColumnRenamed("id", "id_a")
-    b = sh.select(F.col("id").alias("__idb"), F.col("shingle").alias("__shb"))
-    inter = (
-        cands.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("__idb"))
-              & (F.col("shingle") == F.col("__shb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    verified = (
-        inter.join(sizes.withColumnRenamed("id", "id_a")
-                   .withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b")
-              .withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jaccard", F.col("inter")
-                    / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
-    )
-    return verified
+    shz = shingle_table(df, id_col, text_col, n, with_size=True)
+    return _verify_jaccard(cands, shz, threshold)
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc (Charikar): token-count weighted bit votes,
     fully native — 64 conditional SUM aggregations in one shuffle, packed
     with shiftleft/bitwise-or. Returns (id, simhash bigint)."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
