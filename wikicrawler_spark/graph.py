@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 
 def pagerank(edges: DataFrame, *, iterations: int = 6, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
-             checkpoint_every: int = 3) -> DataFrame:
+             checkpoint_every: int = 1, checkpoint_eager: bool = True) -> DataFrame:
     """Standard PageRank with uniform teleport and dangling-mass
     redistribution. ``edges`` is a directed (src, dst) DataFrame (dedupe
     parallel edges upstream if each should count once). Returns
@@ -38,13 +38,22 @@ def pagerank(edges: DataFrame, *, iterations: int = 6, damping: float = 0.85,
     src = F.col(src_col)
     dst = F.col(dst_col)
     e = edges.select(src.alias("src"), dst.alias("dst"))
+    if checkpoint_every:
+        # every iteration re-reads edges/nodes/deg: materialize them ONCE
+        # (localCheckpoint here; a checkpoint dir / Iceberg table on a real
+        # cluster) instead of recomputing the upstream plan 2*iterations
+        # times down the dangling + contribution subtrees
+        e = e.localCheckpoint(eager=checkpoint_eager)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    n = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    if checkpoint_every:
+        nodes = nodes.localCheckpoint(eager=checkpoint_eager)
+        deg = deg.localCheckpoint(eager=checkpoint_eager)
+    n = nodes.count()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iterations):
         # dangling mass: total rank sitting on nodes with no out-edges —
@@ -71,8 +80,13 @@ def pagerank(edges: DataFrame, *, iterations: int = 6, damping: float = 0.85,
                  ).alias("rank"),
             )
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=False)
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 \
+                and i + 1 < iterations:
+            # eager per-iteration materialization: the next round consumes
+            # `ranks` TWICE (dangling branch + contribution branch); an
+            # un-materialized plan would recompute the whole history down
+            # both subtrees, compounding 2x per round
+            ranks = ranks.localCheckpoint(eager=checkpoint_eager)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
