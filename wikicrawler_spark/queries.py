@@ -1045,6 +1045,41 @@ FROM pairs WHERE cos_sim >= 0.4
 """
 
 
+# ---------------------------------------------------------------- sketches
+
+def q_sketch_accuracy(spark, sf_dir):
+    """Sketch operators with a deterministic accuracy gate: HyperLogLog++
+    distinct-count (approx_count_distinct, rsd 5%) and the approximate
+    percentile sketch (percentile_approx, accuracy 10000) vs their exact
+    twins, asserted within their error budgets. Both sketches are
+    deterministic functions of the input set, so the booleans are stable;
+    the oracle pins the exact values and asserts the gates held."""
+    ev = load(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id", 0.05).alias("hll_users"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("p50_sketch"),
+    )
+    return agg.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        (F.abs(F.col("hll_users") - F.col("n_users"))
+         <= 0.10 * F.col("n_users")).alias("hll_ok"),
+        F.round("p50", 6).alias("p50"),
+        (F.abs(F.col("p50_sketch") - F.col("p50"))
+         <= F.abs(F.col("p50")) * 0.01 + 1e-6).alias("p50_sketch_ok"),
+    )
+
+
+ORACLE_SKETCH = """
+SELECT count(DISTINCT user_id)::BIGINT AS n_users,
+       true AS hll_ok,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       true AS p50_sketch_ok
+FROM events
+"""
+
+
 # ---------------------------------------------------------------- pagerank
 
 _PAGERANK_EDGES_SQL = """
@@ -1623,6 +1658,7 @@ def queries() -> dict:
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "pdf_layout_spans": q_pdf_layout_spans,
         "pagerank_orders": q_pagerank,
+        "sketch_accuracy": q_sketch_accuracy,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1679,6 +1715,7 @@ def oracle_sql() -> dict:
         "pdf_layout_spans": ORACLE_PDF_LAYOUT,
         "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
                                                iterations=6, damping=0.85),
+        "sketch_accuracy": ORACLE_SKETCH,
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
