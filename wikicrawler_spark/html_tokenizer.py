@@ -47,15 +47,20 @@ def unescape(text: str) -> str:
     return text
 
 
+_EMPTY_ATTRS: dict = {}  # shared, never mutated — attrs are write-once at parse
+
+
 class Element:
     """Minimal DOM node: tag, attrs, ordered children (Element | str).
-    __slots__ + manual init: this type is built millions of times per task."""
+    __slots__ + manual init: this type is built millions of times per task.
+    Attr-less elements share one immutable dict (the common case — saves an
+    allocation per element; nothing mutates attrs after construction)."""
 
     __slots__ = ("tag", "attrs", "children")
 
     def __init__(self, tag: str, attrs: dict | None = None):
         self.tag = tag
-        self.attrs = attrs if attrs is not None else {}
+        self.attrs = attrs if attrs is not None else _EMPTY_ATTRS
         self.children = []
 
     @property
@@ -98,7 +103,7 @@ class Element:
 
 def _parse_attrs(raw: str) -> dict[str, str]:
     if "=" not in raw:
-        return {}
+        return _EMPTY_ATTRS
     return {k: unescape(v) for k, v in _ATTR_RE.findall(raw)}
 
 
@@ -152,14 +157,15 @@ class StreamParser:
         parts = fragment.split("<")
         text = parts[0]
         if text and build:
-            build[-1].children.append(unescape(text))
+            build[-1].children.append(unescape(text) if "&" in text else text)
         for part in parts[1:]:
             gt = part.find(">")
             if gt <= 0:
                 # gt == -1: unterminated tag — '<' dropped, rest is text.
                 # gt == 0: '<>' — '>' and the rest are text.
                 if part and build:
-                    build[-1].children.append(unescape(part))
+                    build[-1].children.append(
+                        unescape(part) if "&" in part else part)
                 continue
             inner = part[:gt]
             text = part[gt + 1:]
@@ -196,7 +202,7 @@ class StreamParser:
                     build.append(el)
                 break
             if text and build:
-                build[-1].children.append(unescape(text))
+                build[-1].children.append(unescape(text) if "&" in text else text)
             # Bare top-level text between blocks is insignificant
             # whitespace in the fixture grammar; dropped.
         # Any elements still open at fragment end become cross-fragment
