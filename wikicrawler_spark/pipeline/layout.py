@@ -136,23 +136,32 @@ def layout_spans(blocks: DataFrame, *, heading_ratio: float = 1.2) -> DataFrame:
     """Layout blocks -> ordered spans (doc_id, kind, text, offset); fully
     native so the DuckDB oracle replays it. See module docstring for the
     rules. Returns kept (non-boilerplate) blocks only, offset dense per doc
-    in reading order."""
-    b = blocks.withColumn("norm_text",
-                          F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#")) \
+    in reading order.
+
+    Plan shape: every per-doc statistic (page count, median font,
+    cross-page repetition count) is a WINDOW aggregate, not a
+    groupBy+join-back — the join formulation evaluated the ``blocks``
+    subtree three times (13 exchanges; with a mapInPandas PDF parse
+    upstream that re-runs the Python parse 3x), the window formulation
+    scans it ONCE: one exchange on (doc_id, norm_text) whose
+    hashpartitioning also satisfies the doc_id windows, then the final
+    reading-order window (3 exchanges total, 1 Generate upstream)."""
+    rep_w = Window.partitionBy("doc_id", "norm_text")
+    doc_w = Window.partitionBy("doc_id")
+    b = (
+        blocks.withColumn("norm_text",
+                          F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"))
         .withColumn("column",
                     F.when(F.col("w") >= PAGE_W / 2, F.lit(0))  # spanning
                     .when(F.col("x") + F.col("w") / 2 < PAGE_W / 2, F.lit(0))
                     .otherwise(F.lit(1)))
-    per_doc = b.groupBy("doc_id").agg(
-        (F.countDistinct("page")).alias("n_pages"),
-        F.expr("percentile(font_size, 0.5)").alias("median_font"),
+        .withColumn("n_rep_pages", F.size(F.collect_set("page").over(rep_w)))
+        .withColumn("n_pages", F.size(F.collect_set("page").over(doc_w)))
+        .withColumn("median_font",
+                    F.expr("percentile(font_size, 0.5)").over(doc_w))
     )
-    reps = b.groupBy("doc_id", "norm_text").agg(
-        F.countDistinct("page").alias("n_rep_pages"))
     scored = (
-        b.join(F.broadcast(per_doc), "doc_id")
-        .join(reps, ["doc_id", "norm_text"])
-        .withColumn(
+        b.withColumn(
             "is_boiler",
             (F.col("n_rep_pages") >= F.greatest(F.lit(2),
                                                 F.ceil(F.col("n_pages") / 2)))
