@@ -43,6 +43,7 @@ HEADLINE = [
     "word_freq",
     "argmax_freq",
     "bigram_collocations",
+    "trigram_collocations",
     "ngram_jaccard",
     "minhash_lsh_pairs",
     "simhash",
@@ -59,6 +60,7 @@ HEADLINE = [
     "top_orders_per_customer",
     "orders_by_nation",
     "events_sessionize",
+    "sketch_accuracy",
 ]
 
 
