@@ -61,6 +61,7 @@ HEADLINE = [
     "orders_by_nation",
     "events_sessionize",
     "sketch_accuracy",
+    "curate_corpus",
 ]
 
 

@@ -210,6 +210,32 @@ def test_embedding_near_dups_lsh_recall_and_truth(spark):
     assert recall >= 0.8, f"embedding LSH recall too low: {recall}"
 
 
+# ------------------------------------------------------------- curation
+
+def test_curate_corpus_funnel(spark):
+    from wikicrawler_spark.pipeline.curate import curate_corpus
+
+    good = ("the data is good and it has many of the words that are "
+            "needed for it to be kept in this set " * 3)
+    rows = [
+        ("d0", good),                       # kept
+        ("d1", good + " extra tail"),       # same 30-char prefix -> exact-dup drop
+        ("d2", "zz xx " * 40),              # no stopwords -> quality/lang drop
+        ("d3", "der die das und ist von zu mit den nicht ein eine " * 6),  # de
+        ("d4", good.replace("good", "fine")),  # near-dup of d0? prefix differs
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    kept = {r["doc_id"]: r for r in curate_corpus(df).collect()}
+    assert "d0" in kept
+    assert "d1" not in kept          # exact prefix dup of d0, d0 is min id
+    assert "d2" not in kept          # fails quality/language gates
+    assert "d3" not in kept          # detected de
+    # d4 shares >0.5 of d0's shingles -> near-dup drop (id_b of the pair)
+    assert "d4" not in kept
+    assert kept["d0"]["fingerprint"] is not None
+    assert kept["d0"]["n_tokens"] > 0
+
+
 # ---------------------------------------------------------- text quality
 
 def test_token_counts_vs_python(docs):

@@ -1045,6 +1045,88 @@ FROM pairs WHERE cos_sim >= 0.4
 """
 
 
+# ----------------------------------------------------------------- curation
+
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation funnel (pipeline.curate.curate_corpus):
+    quality >= 0.5 AND lang 'en' -> exact prefix dedup -> MinHash-LSH
+    near-dup removal -> fingerprint. Every stage is SQL-replayable, so the
+    oracle replays the WHOLE chain."""
+    from .pipeline.curate import curate_corpus
+
+    return curate_corpus(_docs_text(spark, sf_dir))
+
+
+def _oracle_curate(min_quality: float = 0.5, lang: str = "en",
+                   threshold: float = 0.5, k: int = 16, bands: int = 4) -> str:
+    """End-to-end DuckDB replay of curate_corpus (n=3 shingles, seed 42)."""
+    params = D._perm_params(k)
+    h = _SQL_H60.format(x="shingle")
+    mins = ",\n         ".join(
+        f"min(({a} * ({h} % 2147483647) + {b}) % 2147483647) AS m{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    r = k // bands
+    band_selects = "\n  UNION ALL ".join(
+        "SELECT id, {bh} AS bh, {j} AS j FROM sigs".format(
+            j=j,
+            bh=_SQL_H60.format(
+                x="concat_ws('|', '{}', {})".format(
+                    j, ", ".join(f"m{j * r + t}" for t in range(r)))),
+        )
+        for j in range(bands)
+    )
+    fp = ("list_reduce(list_prepend(0::BIGINT, list_transform("
+          + _SQL_TOKS + ", t -> " + _SQL_H60.format(x="t")
+          + " % 2147483647)), (acc, x) -> (acc * 1000003 + x) % 2147483647)")
+    return f"""
+WITH q AS ({_oracle_quality()}),
+l AS ({_oracle_langid()}),
+base AS (
+  SELECT d.doc_id::VARCHAR AS doc_id, d.text, q.n_tokens, q.quality
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id::VARCHAR
+  JOIN l ON l.doc_id = d.doc_id::VARCHAR
+  WHERE q.quality >= {min_quality} AND l.lang_guess = '{lang}'
+), ranked_base AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(substring(text, 1, 30))
+                               ORDER BY doc_id) AS rn
+  FROM base
+), survivors AS (
+  SELECT doc_id, text, n_tokens, quality FROM ranked_base WHERE rn = 1
+), toks2 AS (
+  SELECT doc_id AS id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM survivors
+), sh AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS shingle
+  FROM toks2
+), sigs AS (SELECT id, {mins} FROM sh GROUP BY id),
+bands AS (
+  {band_selects}
+), cands AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.j = b.j AND a.bh = b.bh AND a.id < b.id
+), sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT id_b
+  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold}
+)
+SELECT s.doc_id, s.n_tokens::INT AS n_tokens, s.quality, {fp} AS fingerprint
+FROM survivors s
+WHERE s.doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
 # ---------------------------------------------------------------- sketches
 
 def q_sketch_accuracy(spark, sf_dir):
@@ -1659,6 +1741,7 @@ def queries() -> dict:
         "pdf_layout_spans": q_pdf_layout_spans,
         "pagerank_orders": q_pagerank,
         "sketch_accuracy": q_sketch_accuracy,
+        "curate_corpus": q_curate_corpus,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
@@ -1716,6 +1799,7 @@ def oracle_sql() -> dict:
         "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
                                                iterations=6, damping=0.85),
         "sketch_accuracy": ORACLE_SKETCH,
+        "curate_corpus": _oracle_curate(),
         "token_counts": ORACLE_TOKEN_COUNTS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
