@@ -210,6 +210,40 @@ def test_embedding_near_dups_lsh_recall_and_truth(spark):
     assert recall >= 0.8, f"embedding LSH recall too low: {recall}"
 
 
+def test_frame_sampling_composes_with_decode(spark):
+    vids = [("d0", "clip.webm", M.make_fake_video("d0", "clip.webm",
+                                                  n_frames=10, w=8, h=6)),
+            ("d1", "talk.mp4", M.make_fake_video("d1", "talk.mp4",
+                                                 n_frames=3, w=8, h=6))]
+    df = spark.createDataFrame(
+        vids, "doc_id string, media_ref string, payload binary")
+    frames = M.sample_frames(df, every=4)
+    got = sorted((r["doc_id"], r["frame_idx"]) for r in frames.collect())
+    # every 4th frame starting at 0: 10 frames -> 0,4,8; 3 frames -> 0
+    assert got == [("d0", 0), ("d0", 4), ("d0", 8), ("d1", 0)]
+    # sampled frames are valid FAKEIMG payloads: the image decode path
+    # consumes them unchanged
+    feats = M.decode_and_featurize(
+        frames.withColumnRenamed("media_ref", "media_ref"),
+        use_fake_codec=True)
+    rows = feats.collect()
+    assert len(rows) == 4
+    assert all(r["width"] == 8 and r["height"] == 6 for r in rows)
+    # deterministic: frame i pixels = base + i mod 256 -> means differ by 1
+    m = {(r["doc_id"],): r["mean_px"] for r in rows if r["doc_id"] == "d1"}
+    assert len(m) == 1
+
+
+def test_frame_sampling_partition_invariance(spark):
+    vids = [(f"d{i}", "v.webm", M.make_fake_video(f"d{i}", "v.webm"))
+            for i in range(6)]
+    df = spark.createDataFrame(
+        vids, "doc_id string, media_ref string, payload binary")
+    a = sorted(map(tuple, M.sample_frames(df.repartition(1), every=3).collect()))
+    b = sorted(map(tuple, M.sample_frames(df.repartition(5), every=3).collect()))
+    assert a == b
+
+
 # ------------------------------------------------------------- curation
 
 def test_curate_corpus_funnel(spark):

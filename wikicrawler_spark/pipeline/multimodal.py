@@ -12,6 +12,9 @@ sizing. Audio/video decode would follow the same import-try with libav.
 
 Fake codec format (deterministic, test-only):
     b"FAKEIMG:<width>,<height>:" + pixel bytes (row-major, 1 byte/px)
+    b"FAKEVID:<n_frames>,<width>,<height>:" + n_frames*w*h frame bytes
+(sampled FAKEVID frames are emitted as FAKEIMG payloads, so
+``sample_frames`` composes directly with ``decode_and_featurize``)
 """
 
 # NOTE: no `from __future__ import annotations` — the pandas_udf below needs
@@ -112,6 +115,59 @@ def decode_and_featurize(assets: DataFrame, *, feature_dim: int = 16,
             )
 
     return assets.mapInPandas(op, schema=DECODED_DDL)
+
+
+def make_fake_video(doc_id: str, media_ref: str, n_frames: int = 12,
+                    w: int = 8, h: int = 6) -> bytes:
+    """Deterministic frames from the ref string (test corpus helper):
+    frame i's pixels are the FAKEIMG pixels of ref shifted by i."""
+    seed = int.from_bytes(media_ref.encode()[-8:].rjust(8, b"\0"), "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, size=w * h, dtype=np.uint32).astype(np.uint8)
+    frames = b"".join(
+        ((base.astype(np.uint16) + i) % 256).astype(np.uint8).tobytes()
+        for i in range(n_frames)
+    )
+    return b"FAKEVID:%d,%d,%d:" % (n_frames, w, h) + frames
+
+
+def sample_frames(assets: DataFrame, *, every: int = 4,
+                  use_fake_codec: bool = False) -> DataFrame:
+    """Frame sampling for video assets: one row in -> one row per sampled
+    frame (frame 0, every-th, 2*every-th, ...), each carrying the frame as
+    a FAKEIMG payload so the result feeds ``decode_and_featurize``
+    unchanged. mapInPandas, per-batch numpy slicing; the real codec
+    (libav/PyAV keyframe iteration) slots into the same row contract and
+    is stubbed in this runtime (import-try pattern, same as PIL above)."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
+                                            pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if not b.startswith(b"FAKEVID:"):
+                    if use_fake_codec:
+                        continue  # non-video payloads skipped, like corrupt rows
+                    raise NotImplementedError(
+                        "real video frame extraction requires libav/PyAV "
+                        "(not in this runtime); FAKEVID payloads are the "
+                        "deterministic test path"
+                    )
+                head, px = b.split(b":", 2)[1:]
+                n, w, h = (int(x) for x in head.split(b","))
+                arr = np.frombuffer(px, dtype=np.uint8)[: n * w * h]
+                for i in range(0, n, every):
+                    frame = arr[i * w * h:(i + 1) * w * h].tobytes()
+                    rows.append((doc_id, ref, i,
+                                 b"FAKEIMG:%d,%d:" % (w, h) + frame))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "frame_idx", "payload"])
+
+    return assets.mapInPandas(
+        op, schema="doc_id string, media_ref string, frame_idx int, payload binary")
 
 
 def resize_stub(assets: DataFrame, w: int, h: int) -> DataFrame:
