@@ -244,6 +244,24 @@ def test_frame_sampling_partition_invariance(spark):
     assert a == b
 
 
+def test_audio_features_vs_numpy(spark):
+    clips = [("d0", "a.ogg", M.make_fake_audio("d0", "a.ogg", 4800, 16000)),
+             ("d1", "b.ogg", M.make_fake_audio("d1", "b.ogg", 8000, 8000)),
+             ("d2", "c.ogg", None)]
+    df = spark.createDataFrame(
+        clips, "doc_id string, media_ref string, payload binary")
+    got = {r["doc_id"]: r for r in M.audio_features(df).collect()}
+    assert set(got) == {"d0", "d1"}  # null payload skipped
+    assert got["d0"]["duration_s"] == 4800 / 16000
+    assert got["d1"]["duration_s"] == 1.0
+    # independent numpy reference for d0
+    pcm = np.frombuffer(
+        bytes(clips[0][2]).split(b":", 2)[2], dtype=np.int16).astype(np.float64)
+    assert abs(got["d0"]["rms"] - round(float(np.sqrt((pcm**2).mean())), 6)) < 1e-9
+    zc = np.count_nonzero(np.diff(np.signbit(pcm))) / len(pcm)
+    assert abs(got["d0"]["zero_cross_rate"] - round(float(zc), 6)) < 1e-9
+
+
 # ------------------------------------------------------------- curation
 
 def test_curate_corpus_funnel(spark):

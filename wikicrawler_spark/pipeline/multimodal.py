@@ -13,6 +13,7 @@ sizing. Audio/video decode would follow the same import-try with libav.
 Fake codec format (deterministic, test-only):
     b"FAKEIMG:<width>,<height>:" + pixel bytes (row-major, 1 byte/px)
     b"FAKEVID:<n_frames>,<width>,<height>:" + n_frames*w*h frame bytes
+    b"FAKEAUD:<sample_rate>:" + int16-LE PCM samples
 (sampled FAKEVID frames are emitted as FAKEIMG payloads, so
 ``sample_frames`` composes directly with ``decode_and_featurize``)
 """
@@ -168,6 +169,60 @@ def sample_frames(assets: DataFrame, *, every: int = 4,
 
     return assets.mapInPandas(
         op, schema="doc_id string, media_ref string, frame_idx int, payload binary")
+
+
+def make_fake_audio(doc_id: str, media_ref: str, n_samples: int = 4800,
+                    sample_rate: int = 16_000) -> bytes:
+    """Deterministic int16 PCM from the ref string (test corpus helper)."""
+    seed = int.from_bytes(media_ref.encode()[-8:].rjust(8, b"\0"), "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    return b"FAKEAUD:%d:" % sample_rate + pcm.tobytes()
+
+
+AUDIO_DDL = ("doc_id string, media_ref string, sample_rate int, "
+             "duration_s double, rms double, zero_cross_rate double")
+
+
+def audio_features(assets: DataFrame, *, use_fake_codec: bool = False) -> DataFrame:
+    """Audio decode + feature extraction: per-clip duration, RMS level and
+    zero-crossing rate from PCM. mapInPandas with per-batch numpy — the
+    audio member of the decode plane. Real compressed-audio decode needs
+    libav/soundfile (absent in this runtime): FAKEAUD payloads are the
+    deterministic test path, everything downstream of the byte parse is
+    the real feature code either way."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload in zip(pdf["doc_id"], pdf["media_ref"],
+                                            pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                if not b.startswith(b"FAKEAUD:"):
+                    if use_fake_codec:
+                        continue
+                    raise NotImplementedError(
+                        "real audio decode requires libav/soundfile (not in "
+                        "this runtime); FAKEAUD payloads are the "
+                        "deterministic test path"
+                    )
+                head, raw = b.split(b":", 2)[1:]
+                sr = int(head)
+                pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                n = len(pcm)
+                if n == 0:
+                    continue
+                rms = float(np.sqrt(np.mean(pcm * pcm)))
+                zc = float(np.count_nonzero(np.diff(np.signbit(pcm))) / n)
+                rows.append((doc_id, ref, sr, n / sr, round(rms, 6),
+                             round(zc, 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "sample_rate",
+                               "duration_s", "rms", "zero_cross_rate"])
+
+    return assets.mapInPandas(op, schema=AUDIO_DDL)
 
 
 def resize_stub(assets: DataFrame, w: int, h: int) -> DataFrame:
