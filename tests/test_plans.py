@@ -1,0 +1,66 @@
+"""Plan-shape regression tests: the physical-plan properties PLANS.md
+claims, pinned as assertions so a refactor can't silently reintroduce a
+shuffle/subtree-duplication regression. Counts use the pre-execution
+executedPlan of the same session config the suite runs everywhere."""
+
+from __future__ import annotations
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _counts(df):
+    p = _plan(df)
+    return {
+        "exchange": p.count("Exchange"),
+        "broadcast": p.count("BroadcastExchange"),
+        "python": (p.count("MapInPandas") + p.count("MapInArrow")
+                   + p.count("ArrowEvalPython")),
+    }
+
+
+@pytest.fixture(scope="module")
+def q(spark):
+    import __spark_entry__ as entrymod
+
+    return {name: fn(spark, SF_DIR) for name, fn in entrymod.queries().items()
+            if name in ("word_freq", "bigram_collocations",
+                        "trigram_collocations", "pdf_layout_spans",
+                        "extract_titles")}
+
+
+def test_extraction_has_no_shuffle(spark):
+    from wikicrawler_spark import corpus
+    from wikicrawler_spark.kernel import extract_spans
+
+    c = _counts(extract_spans(corpus.corpus_df(spark, 50)))
+    assert c["exchange"] == 0
+    assert c["python"] >= 1  # the kernel itself
+
+
+def test_collocations_single_exchange(q):
+    """The window-marginal formulation: ONE exchange for bigrams AND
+    trigrams (the 4-scan join formulation had 4; see PLANS.md)."""
+    for name in ("word_freq", "bigram_collocations", "trigram_collocations"):
+        c = _counts(q[name])
+        assert c["exchange"] == 1, (name, c)
+        assert c["python"] == 0, (name, c)
+
+
+def test_layout_classifier_shape(q):
+    """Window formulation: <= 3 exchanges and no blocks-subtree
+    triplication (the join-back formulation had 13; see PLANS.md).
+    Python stages: 0 — this query synthesizes blocks natively."""
+    c = _counts(q["pdf_layout_spans"])
+    assert c["exchange"] <= 4, c
+    assert c["python"] == 0, c
+
+
+def test_extract_query_python_stage_count(q):
+    """One fused kernel crossing; no stray per-row Python."""
+    assert _counts(q["extract_titles"])["python"] <= 2
