@@ -56,8 +56,15 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features per doc: length, mean word length,
     punctuation ratio, stopword ratio, uppercase-start ratio, and a
-    composite [0,1] score. Pure column arithmetic."""
-    toks = _tokens(F.col(text_col))
+    composite [0,1] score. Pure column arithmetic.
+
+    Tokens are materialized as an attribute in a sub-projection before the
+    stat expressions reference them: HOF lambdas defeat codegen common-
+    subexpression elimination, so inlining `_tokens(text)` into each stat
+    re-tokenized every row once per stat (measured 3x on language_id)."""
+    df = df.select("doc_id", F.col(text_col),
+                   _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
     n_tok = F.size(toks)
     stop_ratio = F.when(n_tok > 0,
                         _profile_hits(toks, LANG_PROFILES["en"])
@@ -93,7 +100,9 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-ratio language ID with a CJK-character fast path.
     Ties break alphabetically (deterministic). Returns (doc_id, lang_guess,
     lang_score)."""
-    toks = _tokens(F.col(text_col))
+    df = df.select("doc_id", F.col(text_col),
+                   _tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")  # attribute, not expression — see quality_scores
     n_tok = F.greatest(F.size(toks), F.lit(1))
     scores = []
     for lang in sorted(LANG_PROFILES):
