@@ -109,6 +109,85 @@ def test_null_payload_skipped(spark):
     assert [r.doc_id for r in rows] == ["d1"]
 
 
+def _python_layout_reference(blocks, heading_ratio=1.2):
+    """Independent reimplementation of the layout rules (statistics over
+    a plain list, no Spark/SQL) for randomized cross-checking."""
+    import math
+    import statistics
+
+    by_doc = {}
+    for doc_id, page, x, y, w, h, font, text in blocks:
+        by_doc.setdefault(doc_id, []).append((page, x, y, w, h, font, text))
+    out = {}
+    for doc_id, bs in by_doc.items():
+        n_pages = len({b[0] for b in bs})
+        median_font = statistics.median(sorted(float(b[5]) for b in bs))
+        rep = {}
+        import re
+        for b in bs:
+            norm = re.sub(r"[0-9]+", "#", b[6].lower())
+            rep.setdefault(norm, set()).add(b[0])
+        kept = []
+        for page, x, y, w, h, font, text in bs:
+            norm = re.sub(r"[0-9]+", "#", text.lower())
+            boiler = (len(rep[norm]) >= max(2, math.ceil(n_pages / 2)) and
+                      (y <= 40 or y >= 720))
+            if boiler:
+                continue
+            if font >= median_font * heading_ratio:
+                kind = "heading"
+            elif re.match(r"^(figure|table) ", text.lower()):
+                kind = "caption"
+            else:
+                kind = "paragraph"
+            col = 0 if (w >= 306 or x + w / 2 < 306) else 1
+            kept.append(((page, col, y, x, text), kind, text))
+        kept.sort(key=lambda t: t[0])
+        out[doc_id] = [(i, k, t) for i, (_, k, t) in enumerate(kept)]
+    return out
+
+
+def test_layout_classifier_randomized_vs_python(spark):
+    """Seeded random block sets (varied pages, fonts, geometry, repeated
+    furniture with and without page numbers) must classify and order
+    identically to the independent python reference."""
+    import random
+
+    rng = random.Random(1234)
+    blocks = []
+    for d in range(12):
+        doc = f"doc{d}"
+        n_pages = rng.randint(1, 4)
+        for page in range(n_pages):
+            blocks.append((doc, page, 36.0, 18.0, 540.0, 12.0, 9.0,
+                           f"Journal of Tests {d}"))
+            if rng.random() < 0.7:
+                blocks.append((doc, page, 250.0, 770.0, 100.0, 12.0, 9.0,
+                               f"Page {page + 1}"))
+            for i in range(rng.randint(1, 6)):
+                x = rng.choice([40.0, 320.0, 36.0])
+                w = 540.0 if x == 36.0 else 240.0
+                y = float(rng.randint(50, 700))
+                font = rng.choice([10.0, 12.0, 12.0, 18.0, 24.0])
+                text = rng.choice([
+                    f"body text {d} {page} {i} alpha",
+                    f"Figure {i}: a chart about {d}",
+                    f"Table {i} of results",
+                    f"heading like text {i}",
+                ])
+                blocks.append((doc, page, x, y, w, 80.0, font, text))
+    df = spark.createDataFrame(
+        blocks, "doc_id string, page int, x double, y double, w double, "
+                "h double, font_size double, text string")
+    got = {}
+    for r in L.layout_spans(df).collect():
+        got.setdefault(r["doc_id"], []).append((r["offset"], r["kind"], r["text"]))
+    for k in got:
+        got[k].sort()
+    want = _python_layout_reference(blocks)
+    assert got == {k: v for k, v in want.items() if v}
+
+
 def test_layout_spans_native_plan(spark):
     """The classifier stage must stay JVM-side: no Python evals in its
     plan (the only Python in the PDF plane is the byte parser)."""
