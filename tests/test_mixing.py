@@ -1,0 +1,174 @@
+"""Tests for the training-mix assembly operators (pipeline/mixing.py) and
+connected components (graph.py) — python-reference parity plus the
+invariants the DuckDB oracles can't express (determinism under
+repartitioning, convergence on adversarial graph shapes).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikicrawler_spark.graph import connected_components
+from wikicrawler_spark.pipeline import mixing as M
+
+
+# ------------------------------------------------------- connected components
+
+def _py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, list[int]] = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(ns) for ns in comp.values() for n in ns}
+
+
+def _cc_spark(spark, edges):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    out = connected_components(df)
+    return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_random_graphs_vs_union_find(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        nodes = list(range(trial * 100, trial * 100 + 60))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(50)]
+        edges = [(a, b) for a, b in edges if a != b]
+        assert _cc_spark(spark, edges) == _py_components(edges)
+
+
+def test_cc_long_chain_converges(spark):
+    """A 120-node path is the adversarial case for min-label propagation
+    (needs 120 rounds); large/small-star must collapse it within the
+    default max_iterations (O(log^2 n))."""
+    edges = [(i, i + 1) for i in range(120)]
+    got = _cc_spark(spark, edges)
+    assert got == {i: 0 for i in range(121)}
+
+
+def test_cc_star_and_isolated_pair(spark):
+    edges = [(10, i) for i in range(11, 20)] + [(100, 101)]
+    got = _cc_spark(spark, edges)
+    assert got == _py_components(edges)
+
+
+# ------------------------------------------------------------------ sampling
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range((i % 40) + 5)),
+             ["en", "de", "fr"][i % 3]) for i in range(300)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+
+
+def test_stratified_sample_deterministic_and_rate(docs):
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.0}
+    s1 = M.stratified_sample(docs, rates=rates)
+    s2 = M.stratified_sample(docs.repartition(7), rates=rates)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s2.select("doc_id").collect())
+    assert ids1 == ids2  # sample is a function of the row, not the plan
+    per = {r["lang"]: r["c"] for r in
+           s1.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+    assert per.get("de") == 100          # rate 1.0 keeps everything
+    assert "fr" not in per               # rate 0.0 keeps nothing
+    assert 30 <= per.get("en", 0) <= 70  # ~50 of 100 (hash-bernoulli)
+
+
+def test_stratified_sample_default_rate(docs):
+    out = M.stratified_sample(docs, rates={"en": 1.0}, default_rate=0.0)
+    assert {r["lang"] for r in out.select("lang").distinct().collect()} == {"en"}
+
+
+def test_mix_weights_sum_to_one_and_monotone(docs):
+    rows = {r["key"]: r for r in M.mix_weights(docs, alpha=0.5).collect()}
+    assert abs(sum(r["weight"] for r in rows.values()) - 1.0) < 1e-4
+    # alpha<1 compresses: the doc-count ratio en/de is 1 here, weights equalish;
+    # compare against alpha=1 on a skewed frame instead
+    skew = docs.filter((F.col("lang") != "fr") |
+                       (F.col("doc_id") < 30))  # fr becomes small stratum
+    w_half = {r["key"]: r["weight"]
+              for r in M.mix_weights(skew, alpha=0.5).collect()}
+    w_one = {r["key"]: r["weight"]
+             for r in M.mix_weights(skew, alpha=1.0).collect()}
+    assert w_half["fr"] > w_one["fr"]  # temperature upsamples the small stratum
+
+
+# ------------------------------------------------------------------- packing
+
+def test_pack_sequences_invariants(docs):
+    cap = 64
+    out = M.pack_sequences(docs, capacity=cap, n_groups=4).toPandas()
+    assert len(out) == 300
+    fills = out.groupby(["pack_group", "bin_id"])["n_tokens"].sum()
+    over = fills[fills > cap]
+    # a bin may exceed capacity only when it holds a single over-long doc
+    for (grp, b) in over.index:
+        members = out[(out.pack_group == grp) & (out.bin_id == b)]
+        assert len(members) == 1 and members.n_tokens.iloc[0] > cap
+    # within a group, ids in bin order are sorted (greedy takes id order)
+    for grp, g in out.groupby("pack_group"):
+        g = g.sort_values(["bin_id", "bin_pos"])
+        assert list(g["id"]) == sorted(g["id"])
+        # bin_pos counts 0..k within each bin
+        for _, bing in g.groupby("bin_id"):
+            assert list(bing["bin_pos"]) == list(range(len(bing)))
+
+
+def test_pack_sequences_python_parity(docs):
+    cap = 64
+    out = M.pack_sequences(docs, capacity=cap, n_groups=4).toPandas()
+    toks = {r["id"]: r["n_tokens"] for _, r in out.iterrows()}
+    groups: dict[int, list[int]] = {}
+    for _, r in out.iterrows():
+        groups.setdefault(r["pack_group"], []).append(r["id"])
+    expect = {}
+    for grp, ids in groups.items():
+        b, fill = 0, 0
+        for pos_id in sorted(ids):
+            t = toks[pos_id]
+            if fill and fill + t > cap:
+                b, fill = b + 1, 0
+            expect[pos_id] = b
+            fill += t
+    got = {r["id"]: r["bin_id"] for _, r in out.iterrows()}
+    assert got == expect
+
+
+# ------------------------------------------------------------- contamination
+
+def test_contamination_finds_planted_copy(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base, "en"),                        # bench (0 % 20 == 0)
+            (1, base + " extra words here", "en"),  # contaminated copy
+            (2, "totally different words with no overlap at all", "en"),
+            (3, "alpha beta unrelated tail of text here", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = M.contamination(df, n=3, benchmark_mod=20, min_shared=2).collect()
+    pairs = {(r["corpus_id"], r["bench_id"]): r for r in out}
+    assert (1, 0) in pairs
+    assert pairs[(1, 0)]["score"] == 1.0  # every bench 3-gram appears in doc 1
+    assert (2, 0) not in pairs
+    assert (3, 0) not in pairs  # only one shared 3-gram < min_shared
+
+
+def test_contamination_short_docs_no_grams(spark):
+    rows = [(0, "one two", "en"), (1, "one two", "en")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    assert M.contamination(df, n=3).count() == 0

@@ -90,6 +90,109 @@ def pagerank(edges: DataFrame, *, iterations: int = 6, damping: float = 0.85,
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 
+def _star_checksum(e: DataFrame) -> tuple[int, int]:
+    """Cheap order-insensitive identity of an edge set: (count, sum of
+    per-edge 60-bit hashes). Two aggregate scalars — no driver-side edge
+    materialization, so the convergence check stays O(1) on the driver."""
+    # bit_xor, not sum: order-independent like sum but cannot overflow
+    # (ANSI mode makes a long-sum of 60-bit hashes throw past ~8 edges)
+    row = e.select(
+        F.conv(F.substring(F.md5(F.concat_ws("|", "u", "v")), 1, 15),
+               16, 10).cast("long").alias("h"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(h)"), F.lit(0).cast("long")).alias("s"),
+    ).collect()[0]
+    return int(row["n"]), int(row["s"])
+
+
+def connected_components(edges: DataFrame, *, src_col: str = "src",
+                         dst_col: str = "dst", max_iterations: int = 25,
+                         checkpoint_eager: bool = True) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log^2 n)-round formulation, NOT naive min-label
+    propagation, whose round count is the component *diameter* (a
+    transitive near-dup chain of length d needs d rounds; large/small-star
+    halves path lengths every round, so a 10^12-doc corpus converges in
+    ~tens of rounds regardless of chain shape).
+
+    Each round is two groupBy-min shuffles + two joins on the *edge* table
+    only (which contracts toward one edge per non-root node); per-round
+    ``localCheckpoint`` truncates the iterative lineage exactly as in
+    :func:`pagerank`. The reference keeps no graph layer at all (SURVEY
+    §2.4 T13 stubs) — this is engine-added capability for near-dup cluster
+    collapse (dedup keeps one canonical doc per component).
+
+    Returns (node, component) for every node incident to an edge, where
+    ``component`` is the minimum node id in the component. Node ids must be
+    orderable (any comparable type; bigint at corpus scale).
+    """
+    e = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=checkpoint_eager)
+    )
+    all_nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionByName(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=checkpoint_eager)
+    )
+    prev = _star_checksum(
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    )
+    for _ in range(max_iterations):
+        # large-star: every neighbor v > u re-attaches to m(u) =
+        # min(N(u) + {u}); neighborhoods over the symmetrized edge set
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        e = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient big->small, then every small neighbor (and u
+        # itself) re-attaches to the minimum small neighbor
+        d = e.select(F.greatest("u", "v").alias("u"),
+                     F.least("u", "v").alias("v"))
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=checkpoint_eager)
+        )
+        cur = _star_checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged state is a star per component: (non-root -> root). Roots
+    # appear only on the v side; every other node exactly once on u (the
+    # groupBy-min is a no-op at convergence but keeps the result sound if
+    # max_iterations ever cuts a pathological graph short).
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .groupBy("node").agg(F.min("component").alias("component"))
+    )
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select("node",
+                F.coalesce(F.col("component"), F.col("node")).alias("component"))
+    )
+
+
 def pagerank_oracle_sql(edges_sql: str, *, iterations: int = 6,
                         damping: float = 0.85) -> str:
     """Generate the DuckDB replay of ``pagerank`` as an unrolled CTE chain

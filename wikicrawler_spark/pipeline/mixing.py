@@ -1,0 +1,194 @@
+"""Training-data assembly operators: deterministic stratified sampling,
+temperature-based domain mixing weights, greedy sequence packing, and
+train/test contamination detection.
+
+These extend the reference's curation surface (the reference stops at
+per-page extraction — no corpus-assembly layer exists there; cf.
+/root/reference/src/wikicrawler/core/sentiment/paragraph.py which analyzes
+one page at a time). Everything here is built for the 100 TB case:
+
+  * sampling/mixing are pure Catalyst expressions keyed on a 60-bit
+    md5-derived hash that DuckDB replays exactly (no Spark-internal
+    ``rand()``/``sample()`` whose values an oracle cannot reproduce, and no
+    driver-side randomness — the sample is a *function of the row*, so it
+    is stable under retries, re-partitioning, and speculative execution);
+  * packing is the one inherently sequential step (bin state carries
+    between consecutive docs), so it is parallelized the way a real
+    pretraining pipeline does it: hash docs into independent pack groups,
+    pack each group with a tiny Arrow-batched ``applyInPandas`` loop —
+    one shuffle, group count sized to the cluster, no global ordering;
+  * contamination joins the (small) benchmark side's n-grams against the
+    corpus n-grams on a 60-bit gram hash — ids+hash only through the
+    shuffle; at corpus scale the benchmark side is broadcast.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import _h60, _spread
+from .text_quality import _tokens
+
+#: modulus for hash-based bernoulli sampling: rate is expressed in
+#: millionths so oracle SQL and Spark compare the identical integer
+SAMPLE_MOD = 1_000_000
+
+
+def _sample_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic per-row bucket in [0, SAMPLE_MOD): the row keeps its
+    bucket forever (stable under retries/shuffles), and the same md5
+    arithmetic replays in DuckDB (`_SQL_H60`)."""
+    return F.pmod(_h60(F.concat(id_col.cast("string"), F.lit(":" + salt))),
+                  F.lit(SAMPLE_MOD))
+
+
+def stratified_sample(df: DataFrame, *, strata_col: str = "lang",
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      id_col: str = "doc_id",
+                      salt: str = "strat") -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically:
+    row kept iff ``h60(id:salt) mod 1e6 < rate*1e6``. Exactly-reproducible
+    bernoulli sampling per stratum — the standard way to downsample
+    over-represented languages/domains when assembling a training mix.
+
+    Scales as a single narrow filter (no shuffle, no state); the rate map
+    compiles to a CASE expression.
+    """
+    rate = None
+    for k, v in sorted(rates.items()):
+        cond = F.col(strata_col) == k
+        rate = F.when(cond, int(v * SAMPLE_MOD)) if rate is None \
+            else rate.when(cond, int(v * SAMPLE_MOD))
+    rate = (rate.otherwise(int(default_rate * SAMPLE_MOD)) if rate is not None
+            else F.lit(int(default_rate * SAMPLE_MOD)))
+    return df.filter(_sample_bucket(F.col(id_col), salt) < rate)
+
+
+def mix_weights(df: DataFrame, *, key_col: str = "lang", alpha: float = 0.5,
+                id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Temperature-scaled mixing weights per domain/language: weight_k
+    proportional to (token count of k) ** alpha, normalized to sum 1 —
+    alpha < 1 upsamples small domains (the multilingual-pretraining
+    standard). Returns (key, n_docs, n_tokens, weight) with weight
+    rounded to 6.
+
+    One groupBy shuffle on the key; the K-row aggregate is broadcast back
+    for normalization (never a single-partition window over the corpus).
+    """
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_tokens(F.col(text_col)))).cast("bigint").alias("n_tokens"),
+    )
+    total = per.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("z"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "key", "n_docs", "n_tokens",
+            F.round(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                    / F.col("z"), 6).alias("weight"),
+        )
+    )
+
+
+def pack_sequences(df: DataFrame, *, capacity: int = 256, n_groups: int = 8,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed-capacity token bins
+    (context windows) — docs are taken in id order within a pack group and
+    a bin closes when the next doc would overflow ``capacity``; over-long
+    docs get a bin of their own. Returns
+    (id, pack_group, bin_id, n_tokens, bin_pos).
+
+    Packing has a loop-carried dependency (bin fill state), so a global
+    greedy order cannot be expressed shuffle-free; the scale design is the
+    one real pretraining pipelines use: hash docs into ``n_groups``
+    independent groups (sized to the cluster — the sandbox default 8 keeps
+    the oracle replay deterministic) and pack each group independently in
+    one ``applyInPandas`` pass. Token counts are computed natively BEFORE
+    the Python stage, so only (id, group, n_tokens) rows cross into Arrow.
+    """
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.pmod(_h60(F.col(id_col).cast("string")), F.lit(n_groups))
+         .cast("int").alias("pack_group"),
+        F.size(_tokens(F.col(text_col))).cast("int").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort").reset_index(drop=True)
+        bins, pos = [], []
+        cur_bin, cur_fill, cur_pos = 0, 0, 0
+        first = True
+        for tok in pdf["n_tokens"]:
+            if not first and cur_fill + tok > capacity:
+                cur_bin += 1
+                cur_fill, cur_pos = 0, 0
+            first = False
+            bins.append(cur_bin)
+            pos.append(cur_pos)
+            cur_fill += tok
+            cur_pos += 1
+        pdf["bin_id"] = pd.Series(bins, dtype="int32")
+        pdf["bin_pos"] = pd.Series(pos, dtype="int32")
+        return pdf
+
+    return base.groupBy("pack_group").applyInPandas(
+        pack,
+        schema=("id bigint, pack_group int, n_tokens int, "
+                "bin_id int, bin_pos int"),
+    )
+
+
+def contamination(df: DataFrame, *, n: int = 3, benchmark_mod: int = 20,
+                  min_shared: int = 2, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Train/test overlap detection: the held-out slice (ids where
+    ``id mod benchmark_mod == 0``) is checked against the rest of the
+    corpus for shared word n-grams. Emits
+    (corpus_id, bench_id, shared, score) for pairs sharing at least
+    ``min_shared`` distinct n-grams, where score = shared / |bench grams|.
+
+    Plan shape: distinct n-grams per doc (one Generate, grams as an
+    attribute before fan-out — the HOF-CSE rule), hashed to 60 bits so the
+    equi-join shuffles ids+hash only; the benchmark side is a
+    ``benchmark_mod``-th of the corpus and broadcasts at scale. Follows
+    the n-gram-overlap decontamination procedure popularized by GPT-3
+    appendix C / the Pile.
+    """
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"),
+        _tokens(F.lower(F.col(text_col))).alias("w"),
+    )
+    # guard: F.sequence(0, k) with k < 0 generates a DESCENDING sequence,
+    # so a doc shorter than n tokens must short-circuit to no grams (the
+    # oracle's range(1, len-n+1) is empty there too)
+    grams = toks.select(
+        "id",
+        F.explode(F.when(
+            F.size("w") >= n,
+            F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.size("w") - n),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(F.col("w"), i + j + 1) for j in range(n)]),
+            )),
+        ).otherwise(F.array().cast("array<string>"))).alias("gram"),
+    ).select("id", _h60(F.col("gram")).alias("gh"))
+    is_bench = F.pmod(F.col("id"), F.lit(benchmark_mod)) == 0
+    bench = grams.filter(is_bench)
+    corp = grams.filter(~is_bench)
+    bsz = bench.groupBy(F.col("id").alias("bench_id")) \
+        .agg(F.count("*").alias("bn"))
+    shared = (
+        corp.join(F.broadcast(bench.withColumnRenamed("id", "bench_id")), "gh")
+        .groupBy(F.col("id").alias("corpus_id"), "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    return shared.join(F.broadcast(bsz), "bench_id").select(
+        "corpus_id", "bench_id",
+        F.col("shared").cast("bigint").alias("shared"),
+        F.round(F.col("shared") / F.col("bn"), 6).alias("score"),
+    )

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, Window, functions as F
 from . import analytics as A
 from .kernel import extract_spans
 from .pipeline import dedup as D
-from .graph import pagerank, pagerank_oracle_sql
+from .graph import connected_components, pagerank, pagerank_oracle_sql
+from .pipeline import mixing as M
 from .pipeline import layout as L
 from .pipeline import simsearch as S
 from .pipeline import text_quality as Q
@@ -1700,6 +1701,148 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+# ------------------------------------- training-mix assembly (pipeline.mixing)
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster collapse: simhash pairs -> connected components
+    (alternating large-star/small-star, graph.py) -> one canonical doc per
+    component. The step a 100 TB dedup actually ends with: pairs alone
+    don't dedup — transitive chains must collapse to one survivor."""
+    pairs = D.simhash_near_duplicates(_docs_text(spark, sf_dir), max_hamming=3)
+    cc = connected_components(pairs, src_col="id_a", dst_col="id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    """Min-reachable-label via recursive CTE over the (tiny) pair graph —
+    fine for the oracle; the engine side uses the O(log^2 n) star
+    algorithm because label propagation's round count is the component
+    diameter."""
+    return f"""
+WITH RECURSIVE pairs AS ({_oracle_simhash_pairs()}),
+sym AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, lab) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.n
+)
+SELECT n AS doc_id, min(lab) AS cluster_id, n = min(lab) AS is_canonical
+FROM reach GROUP BY n
+"""
+
+
+_STRAT_RATES = {"en": 0.5, "de": 1.0, "fr": 1.0, "es": 0.25, "zh": 0.1}
+
+
+def q_stratified_sample(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return M.stratified_sample(d, strata_col="lang", rates=_STRAT_RATES) \
+        .select(F.col("doc_id").cast("bigint").alias("doc_id"), "lang")
+
+
+def _oracle_stratified() -> str:
+    h = _SQL_H60.format(x="doc_id::VARCHAR || ':strat'")
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * M.SAMPLE_MOD)}"
+        for k, v in sorted(_STRAT_RATES.items())
+    )
+    return f"""
+SELECT doc_id::BIGINT AS doc_id, lang FROM documents
+WHERE {h} % {M.SAMPLE_MOD} < CASE lang {cases} ELSE 0 END
+"""
+
+
+def q_mix_weights(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return M.mix_weights(d, key_col="lang", alpha=0.5)
+
+
+ORACLE_MIX_WEIGHTS = """
+WITH per AS (
+  SELECT lang AS key, count(*)::BIGINT AS n_docs,
+         sum(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+), z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM per)
+SELECT key, n_docs, n_tokens,
+       round(pow(n_tokens, 0.5) / z, 6) AS weight
+FROM per, z
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return M.pack_sequences(d, capacity=256, n_groups=8)
+
+
+ORACLE_PACK = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id::BIGINT AS id,
+         ({_SQL_H60.format(x="doc_id::VARCHAR")} % 8)::INT AS pack_group,
+         len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> ''))::INT AS n_tokens
+  FROM documents
+), nums AS (
+  SELECT *, row_number() OVER (PARTITION BY pack_group ORDER BY id) AS rn
+  FROM base
+), packed(pack_group, rn, id, n_tokens, bin_id, bin_pos, fill) AS (
+  SELECT pack_group, rn, id, n_tokens, 0, 0, n_tokens FROM nums WHERE rn = 1
+  UNION ALL
+  SELECT n.pack_group, n.rn, n.id, n.n_tokens,
+         CASE WHEN p.fill + n.n_tokens > 256 THEN p.bin_id + 1
+              ELSE p.bin_id END,
+         CASE WHEN p.fill + n.n_tokens > 256 THEN 0 ELSE p.bin_pos + 1 END,
+         CASE WHEN p.fill + n.n_tokens > 256 THEN n.n_tokens
+              ELSE p.fill + n.n_tokens END
+  FROM packed p JOIN nums n
+    ON n.pack_group = p.pack_group AND n.rn = p.rn + 1
+)
+SELECT id, pack_group, n_tokens, bin_id::INT AS bin_id, bin_pos::INT AS bin_pos
+FROM packed
+"""
+
+
+def q_contamination(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    return M.contamination(d, n=3, benchmark_mod=20, min_shared=2)
+
+
+ORACLE_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id::BIGINT AS id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT id, unnest(list_distinct(list_transform(
+           range(1, greatest(len(w) - 1, 1)),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+  FROM toks WHERE len(w) >= 3
+), gh AS (
+  SELECT id, {_SQL_H60.format(x="g")} AS gh FROM grams
+), bench AS (SELECT id AS bench_id, gh FROM gh WHERE id % 20 = 0),
+corp AS (SELECT id AS corpus_id, gh FROM gh WHERE id % 20 <> 0),
+bsz AS (SELECT bench_id, count(*) AS bn FROM bench GROUP BY 1),
+sh AS (
+  SELECT corpus_id, bench_id, count(*) AS shared
+  FROM corp JOIN bench USING (gh)
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT corpus_id, bench_id, shared::BIGINT AS shared,
+       round(shared * 1.0 / bn, 6) AS score
+FROM sh JOIN bsz USING (bench_id)
+"""
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1758,6 +1901,11 @@ def queries() -> dict:
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
         "distinct_suppliers_per_part": q_distinct_suppliers_per_part,
+        "dedup_clusters": q_dedup_clusters,
+        "stratified_sample": q_stratified_sample,
+        "mix_weights": q_mix_weights,
+        "pack_sequences": q_pack_sequences,
+        "contamination_check": q_contamination,
     }
 
 
@@ -1816,6 +1964,11 @@ def oracle_sql() -> dict:
         "pivot_linestatus": ORACLE_PIVOT,
         "set_ops_customers": ORACLE_SET_OPS,
         "distinct_suppliers_per_part": ORACLE_DISTINCT,
+        "dedup_clusters": _oracle_dedup_clusters(),
+        "stratified_sample": _oracle_stratified(),
+        "mix_weights": ORACLE_MIX_WEIGHTS,
+        "pack_sequences": ORACLE_PACK,
+        "contamination_check": ORACLE_CONTAMINATION,
         # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
         # (their deterministic recall gates are oracled separately below)
     }
