@@ -62,6 +62,9 @@ HEADLINE = [
     "events_sessionize",
     "sketch_accuracy",
     "curate_corpus",
+    "dedup_clusters",
+    "pack_sequences",
+    "contamination_check",
 ]
 
 
