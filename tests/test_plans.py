@@ -64,3 +64,29 @@ def test_layout_classifier_shape(q):
 def test_extract_query_python_stage_count(q):
     """One fused kernel crossing; no stray per-row Python."""
     assert _counts(q["extract_titles"])["python"] <= 2
+
+
+def test_mixing_op_plan_shapes(spark):
+    """Training-mix ops (PLANS.md 'Training-mix assembly'): sampling is a
+    pure narrow filter (ZERO exchanges), packing pays exactly ONE shuffle
+    into its applyInPandas stage, contamination broadcasts the benchmark
+    side (corpus side never hash-shuffles into the join)."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    c = _counts(qs["stratified_sample"](spark, SF_DIR))
+    assert c == {"exchange": 0, "broadcast": 0, "python": 0}, c
+
+    p = _plan(qs["pack_sequences"](spark, SF_DIR))
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "FlatMapGroupsInPandas" in p
+
+    c = _counts(qs["contamination_check"](spark, SF_DIR))
+    assert c["broadcast"] >= 2, c  # bench grams + bench sizes
+    # corpus side reaches the join without a hash exchange: total
+    # non-broadcast exchanges are the two aggregations + two _spread
+    # round-robins, never a corpus-side join repartition
+    assert c["exchange"] - c["broadcast"] <= 5, c
+
+    c = _counts(qs["mix_weights"](spark, SF_DIR))
+    assert c["broadcast"] == 1 and c["python"] == 0, c

@@ -127,3 +127,87 @@ def test_stream_sessionize_equals_batch(spark, tmp_path):
     assert set(got) == set(want)
     assert all(got[k][0] == want[k][0] for k in want)
     assert all(np.isclose(got[k][1], want[k][1], atol=1e-9) for k in want)
+
+
+def test_stream_event_windows_watermark_drops_late(spark, tmp_path):
+    """Event-time windows + watermark: (1) append mode emits a window
+    exactly once, after the watermark passes its end; (2) an event
+    arriving in a later micro-batch, older than the watermark, is DROPPED
+    (bounded state is the whole point of the watermark); (3) an event
+    late but within the watermark still lands in its window. Batch
+    boundaries are made deterministic by running three availableNow
+    passes over a shared checkpoint (watermark state persists across
+    restarts)."""
+    import datetime as dt
+
+    from wikicrawler_spark.streaming import stream_event_windows
+
+    in_dir = str(tmp_path / "evw")
+    out_dir = str(tmp_path / "evw_out")
+    ck = str(tmp_path / "evw_ck")
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def write(rows):
+        spark.createDataFrame(
+            rows, "ts timestamp, event_type string, value double"
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run():
+        src = (spark.readStream
+               .schema("ts timestamp, event_type string, value double")
+               .parquet(in_dir))
+        q = (stream_event_windows(src, window="1 hour",
+                                  watermark="30 minutes")
+             .writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", ck)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out_dir).toPandas()
+
+    # batch 1: window 8-9 gets 2 clicks; max event time 10:00
+    # -> watermark after the batch = 9:30, window [8,9) is closable
+    write([(base, "click", 1.0),
+           (base + dt.timedelta(minutes=20), "click", 2.0),
+           (base + dt.timedelta(hours=2), "view", 5.0)])   # 10:00
+    out1 = run()
+
+    # batch 2: one event at 8:30 — OLDER than the 9:30 watermark: dropped.
+    # one event at 9:40 — late vs max-seen 10:00 but INSIDE the watermark:
+    # lands in window [9,10). one event at 13:00 advances the watermark
+    # to 12:30 so windows through 12:00 finalize.
+    write([(base + dt.timedelta(minutes=30), "click", 100.0),  # dropped
+           (base + dt.timedelta(hours=1, minutes=40), "view", 7.0),
+           (base + dt.timedelta(hours=5), "view", 9.0)])       # 13:00
+    out2 = run()
+
+    # batches 3+4: emission uses the watermark as of batch START, so
+    # closing the [13,14) window takes one batch to advance the watermark
+    # past 14:00 (the 15:00 event -> watermark 14:30) and a second batch
+    # to emit under it
+    write([(base + dt.timedelta(hours=7), "click", 1.0)])      # 15:00
+    run()
+    write([(base + dt.timedelta(hours=8), "click", 1.0)])      # 16:00
+    out3 = run()
+
+    def win(df, hour, etype):
+        rows = df[(df.window_start == dt.datetime(2024, 1, 1, hour, 0, 0))
+                  & (df.event_type == etype)]
+        return None if rows.empty else (
+            int(rows.n.iloc[0]), float(rows.value_sum.iloc[0]))
+
+    # the 8-9 click window finalized WITHOUT the dropped late event
+    assert win(out3, 8, "click") == (2, 3.0)
+    # appended exactly once across the three runs
+    assert len(out2[(out2.window_start == base) & (out2.event_type == "click")]) == 1
+    assert len(out3[(out3.window_start == base) & (out3.event_type == "click")]) == 1
+    # the within-watermark late event made it into [9,10)
+    assert win(out3, 9, "view") == (1, 7.0)
+    # the 10-11 view window holds only the 10:00 event
+    assert win(out3, 10, "view") == (1, 5.0)
+    # 13:00 window finalized after batch 3 advanced the watermark
+    assert win(out3, 13, "view") == (1, 9.0)
+    # batch-1 output contains nothing not yet closable (8-9 may appear in
+    # out2 depending on when the engine evaluates the final watermark; the
+    # invariant worth pinning: nothing beyond watermark 9:30 in out1)
+    if not out1.empty:
+        assert (out1.window_end <= dt.datetime(2024, 1, 1, 9, 30)).all()

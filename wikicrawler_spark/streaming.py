@@ -76,6 +76,36 @@ def stream_span_rates(spark, input_dir: str, *, window: str = "10 seconds"):
     )
 
 
+def stream_event_windows(events, *, window: str = "1 hour",
+                         watermark: str = "30 minutes"):
+    """EVENT-time windowed aggregation with a watermark — the late-data
+    contract the ingest-time monitor above can't express: per
+    (window, event_type) counts and value sums over the event's own ``ts``.
+
+    Semantics (append mode): a window row is emitted exactly once, when
+    the watermark (max event time seen minus ``watermark``) passes the
+    window end; events arriving after the watermark has passed their
+    window are DROPPED, bounding state size — the watermark is what lets
+    a 1000-executor job aggregate an unbounded stream without unbounded
+    window state. The watermark persists in the checkpoint, so the
+    drop/keep decision is stable across restarts of the same query.
+
+    ``value_sum`` is rounded AFTER aggregation; the window bounds come out
+    as explicit start/end columns so a downstream parquet sink has a flat
+    schema.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("value_sum"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type", "n", "value_sum",
+        )
+    )
+
+
 def stream_sessionize(events, *, gap_minutes: int = 30):
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     gap-based sessionization of an event stream — the streaming twin of the
