@@ -172,3 +172,41 @@ def test_contamination_short_docs_no_grams(spark):
     rows = [(0, "one two", "en"), (1, "one two", "en")]
     df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
     assert M.contamination(df, n=3).count() == 0
+
+
+# --------------------------------------------------------------------- bm25
+
+def test_bm25_ranks_planted_doc_first(spark):
+    from wikicrawler_spark.pipeline.bm25 import bm25_topk
+
+    filler = "lorem ipsum dolor sit amet consectetur adipiscing elit"
+    rows = [(0, "spark join spark join spark fast query"),   # dense in query
+            (1, f"{filler} spark {filler}"),                 # one hit, long
+            (2, f"{filler} {filler}"),                       # no hits
+            (3, "spark fast " + filler)]                     # two hits
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = bm25_topk(df, "spark fast join", k=3).collect()
+    assert [r["doc_id"] for r in got] == [0, 3, 1]
+    assert got[0]["score"] > got[1]["score"] > got[2]["score"] > 0
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    from wikicrawler_spark.pipeline.bm25 import bm25_topk
+
+    # 'the' appears in every doc -> near-zero idf; 'rare' in one
+    rows = [(i, "the common filler text") for i in range(9)]
+    rows.append((9, "the rare token"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r["score"] for r in bm25_topk(df, "the rare", k=10).collect()}
+    assert max(got, key=got.get) == 9
+    assert got[9] > 10 * max(v for k, v in got.items() if k != 9)
+
+
+def test_bm25_empty_query_raises(spark):
+    import pytest as _pytest
+
+    from wikicrawler_spark.pipeline.bm25 import bm25_topk
+
+    df = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "   ")

@@ -90,3 +90,14 @@ def test_mixing_op_plan_shapes(spark):
 
     c = _counts(qs["mix_weights"](spark, SF_DIR))
     assert c["broadcast"] == 1 and c["python"] == 0, c
+
+
+def test_bm25_plan_shape(spark):
+    """BM25: term filter sits under the postings aggregation (shuffle
+    carries matching postings only), df/stats joins are broadcasts, no
+    Python stage anywhere."""
+    import __spark_entry__ as entrymod
+
+    c = _counts(entrymod.queries()["bm25_search"](spark, SF_DIR))
+    assert c["python"] == 0, c
+    assert c["broadcast"] >= 2, c

@@ -25,6 +25,7 @@ from . import analytics as A
 from .kernel import extract_spans
 from .pipeline import dedup as D
 from .graph import connected_components, pagerank, pagerank_oracle_sql
+from .pipeline import bm25 as B
 from .pipeline import mixing as M
 from .pipeline import layout as L
 from .pipeline import simsearch as S
@@ -1843,6 +1844,18 @@ FROM sh JOIN bsz USING (bench_id)
 """
 
 
+_BM25_QUERY = "spark fast join window"
+
+
+def q_bm25_search(spark, sf_dir):
+    """Corpus-local ranked retrieval (the reference outsources ranking to
+    Wikipedia's search engine, seeker.py:49-68; a standalone engine needs
+    its own). Okapi BM25 over an inline inverted index, fully native."""
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"), "text")
+    return B.bm25_topk(d, _BM25_QUERY, k=10)
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -1906,6 +1919,7 @@ def queries() -> dict:
         "mix_weights": q_mix_weights,
         "pack_sequences": q_pack_sequences,
         "contamination_check": q_contamination,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -1969,6 +1983,7 @@ def oracle_sql() -> dict:
         "mix_weights": ORACLE_MIX_WEIGHTS,
         "pack_sequences": ORACLE_PACK,
         "contamination_check": ORACLE_CONTAMINATION,
+        "bm25_search": B.bm25_oracle_sql(_BM25_QUERY, k=10),
         # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
         # (their deterministic recall gates are oracled separately below)
     }
