@@ -105,3 +105,62 @@ def test_fast_paragraph_path_equals_tree_path(family, index, seed):
     finally:
         kernel.FAST_PARAGRAPH_PATH = True
     assert fast == tree
+
+
+@st.composite
+def fastpath_fragment(draw):
+    """Fragments aimed at the heading/anchor fast paths and their fallback
+    boundaries: h1-h6 / a / p with optional id/class/title/href attrs,
+    self-closing tails, entities, nesting, and scope open/close around."""
+    tag = draw(st.sampled_from(["h1", "h2", "h6", "a", "p", "hr"]))
+    attrs = []
+    if draw(st.booleans()):
+        attrs.append(draw(st.sampled_from(
+            ['id="firstHeading"', 'id="catlinks"', 'id="toc"', 'id="x"'])))
+    if draw(st.booleans()):
+        attrs.append('class="%s"' % draw(st.sampled_from(
+            ["image", "navbox", "references", "div-col", "external",
+             "mw-search-results", "plain wikitable"])))
+    if draw(st.booleans()):
+        attrs.append('href="%s"' % draw(st.sampled_from(
+            ["/wiki/X", "/wiki/File:I.jpg", "http://e/x", ""])))
+    if draw(st.booleans()):
+        attrs.append('title="T%d"' % draw(st.integers(0, 3)))
+    raw = (" " + " ".join(attrs)) if attrs else ""
+    if draw(st.booleans()):
+        raw += draw(st.sampled_from(["/", " /"]))
+    inner = draw(st.sampled_from(
+        ["", "plain text", "a &amp; b", "x<a href=\"/wiki/Y\" title=\"Y\">y</a>z",
+         "<b>bold</b>", "\n"]))
+    close = draw(st.sampled_from([f"</{tag}>", "", "</div>"]))
+    return f"<{tag}{raw}>{inner}{close}"
+
+
+@given(frags=st.lists(st.one_of(fastpath_fragment(), hostile_fragment()),
+                      min_size=1, max_size=8),
+       opens=st.booleans())
+@settings(max_examples=200, deadline=None)
+def test_fast_paths_equal_tree_on_adversarial_fragments(frags, opens):
+    """All three fast paths (paragraph, heading, anchor) must be
+    byte-identical to the tree path on adversarial fragments, including
+    inside/outside content scope."""
+    from wikicrawler_spark import kernel
+
+    spans = []
+    off = 0
+    if opens:
+        spans.append({"kind": "html", "media_ref": None, "offset": 0,
+                      "text": '<div id="mw-content-text">'
+                              '<div class="mw-parser-output">'})
+        off = 1
+    for i, f in enumerate(frags):
+        spans.append({"kind": "html", "text": f, "media_ref": None,
+                      "offset": off + i})
+    try:
+        kernel.FAST_PARAGRAPH_PATH = True
+        fast = extract_doc("wiki/adv", spans)
+        kernel.FAST_PARAGRAPH_PATH = False
+        tree = extract_doc("wiki/adv", spans)
+    finally:
+        kernel.FAST_PARAGRAPH_PATH = True
+    assert fast == tree

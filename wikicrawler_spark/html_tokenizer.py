@@ -101,10 +101,24 @@ class Element:
         return [c for c in self.children if isinstance(c, Element)]
 
 
+_ATTRS_CACHE: dict[str, dict] = {}
+_ATTRS_CACHE_CAP = 65536
+
+
 def _parse_attrs(raw: str) -> dict[str, str]:
+    """Raw attr string -> dict, memoized: attr strings repeat heavily
+    (class="mw-parser-output", class="wikitable", ...), and attr dicts are
+    write-once by contract (see Element), so sharing one dict per distinct
+    raw string is safe — same reasoning as the shared _EMPTY_ATTRS."""
     if "=" not in raw:
         return _EMPTY_ATTRS
-    return {k: unescape(v) for k, v in _ATTR_RE.findall(raw)}
+    d = _ATTRS_CACHE.get(raw)
+    if d is None:
+        if len(_ATTRS_CACHE) >= _ATTRS_CACHE_CAP:
+            _ATTRS_CACHE.clear()
+        d = {k: unescape(v) for k, v in _ATTR_RE.findall(raw)}
+        _ATTRS_CACHE[raw] = d
+    return d
 
 
 class StreamParser:

@@ -78,6 +78,17 @@ FAST_PARAGRAPH_PATH = True
 _FAST_P = re.compile(r'<p(?:\s+class="([^"]*)")?>(.*)</p>\Z', re.S)
 _FAST_P_CONTENT = re.compile(r'(?:[^<]|<a(?:\s[^<>]*)?>[^<]*</a>)*\Z', re.S)
 _FAST_A = re.compile(r"<a(\s[^<>]*)?>([^<]*)</a>", re.S)
+# Sibling fast paths (same toggle, same byte-identical-or-fall-back rule):
+# a self-contained heading / standalone anchor with tagless, entity-free
+# content. [^<&]* forbids nested markup and entities; the trailing-'/'
+# guard in the handlers rejects self-closing forms whose tree semantics
+# differ ('<h2/>x</h2>' is an empty block + dropped text, not heading 'x').
+_FAST_H = re.compile(r"<h([1-6])(\s[^<>]*)?>([^<&]*)</h\1>\Z")
+_FAST_ANCHOR = re.compile(r"<a(\s[^<>]*)?>([^<&]*)</a>\Z")
+# anchor classes whose tree-path handling goes beyond media/disambig —
+# any hit falls back to the tree parser
+_ANCHOR_SLOW_CLASSES = frozenset(
+    {"references", "div-col", "mw-search-results", "navbox"})
 
 # Link-density threshold for the explicit boilerplate classifier (E14).
 # A <p> whose anchor text makes up more than this fraction of its total
@@ -301,13 +312,69 @@ def _extract_core(doc_id: str, ordered: Iterable, latex: bool = False) -> list[t
                         body.append(("link", atext, WIKI_BASE + href))
         return True
 
+    def fast_heading(frag: str) -> bool:
+        """Self-contained <hN> with flat, entity-free content: replicates
+        handle_block's firstHeading/heading branches exactly; any attr
+        complication (other ids, self-closing tail) falls back."""
+        nonlocal title
+        m = _FAST_H.match(frag)
+        if not m:
+            return False
+        raw = m.group(2) or ""
+        if raw.rstrip().endswith("/"):
+            return False  # '<h2 .../>' tree semantics differ
+        attrs = _parse_attrs(raw)
+        text = m.group(3)
+        if attrs.get("id") == "firstHeading":
+            if title is None:
+                title = text
+            return True
+        if "id" in attrs:
+            return False  # id='catlinks'/'toc' take other tree branches
+        if parser.in_content_scope:
+            body.append(("heading", text, None))
+        return True
+
+    def fast_anchor(frag: str) -> bool:
+        """Standalone <a> with flat, entity-free content: replicates the
+        tree path's media scan + bare-anchor (disambiguation) branch; ids
+        and structural classes fall back."""
+        m = _FAST_ANCHOR.match(frag)
+        if not m:
+            return False
+        raw = m.group(1) or ""
+        if raw.rstrip().endswith("/"):
+            return False
+        attrs = _parse_attrs(raw)
+        if "id" in attrs:
+            return False
+        classes = attrs.get("class", "").split()
+        if any(c in _ANCHOR_SLOW_CLASSES for c in classes):
+            return False
+        atext = m.group(2)
+        if "image" in classes:
+            href = attrs.get("href")
+            if href is not None:
+                body.append(("media", atext if atext else None,
+                             WIKI_BASE + "/" + href.lstrip("/")))
+        if parser.in_content_scope:
+            href = attrs.get("href")
+            t = attrs.get("title")
+            if href is not None and href.startswith("/wiki/") and t is not None:
+                disambig_links.append((t, href))
+        return True
+
     for kind, text, ref in ordered:
         if kind == "html":
             if text:
-                if (FAST_PARAGRAPH_PATH and text.startswith("<p")
-                        and text.endswith("</p>") and "&" not in text
-                        and fast_paragraph(text)):
-                    continue
+                if FAST_PARAGRAPH_PATH and "&" not in text:
+                    if (text.startswith("<p") and text.endswith("</p>")
+                            and fast_paragraph(text)):
+                        continue
+                    if text.startswith("<h") and fast_heading(text):
+                        continue
+                    if text.startswith("<a") and fast_anchor(text):
+                        continue
                 for el, in_scope in parser.feed(text):
                     handle_block(el, in_scope)
         elif kind == "media":
