@@ -65,6 +65,7 @@ HEADLINE = [
     "dedup_clusters",
     "pack_sequences",
     "contamination_check",
+    "bm25_search",
 ]
 
 
