@@ -57,7 +57,8 @@ def value_hash(df: pd.DataFrame) -> str:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<null>"
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
+            # isfinite first: int(inf) raises OverflowError (ADVICE r2)
+            if math.isfinite(v) and abs(v) < 1e15 and v == int(v):
                 return str(int(v))
             return repr(v)
         return str(v)
@@ -112,7 +113,22 @@ def main() -> int:
                   f"{time.time()-t0:.1f}s){note}")
             continue
         try:
-            ora_pd = con.execute(oracles[name]).fetchdf()
+            rel = con.sql(oracles[name])
+            # HUGEINT / unsigned oracle columns land in pandas as float64
+            # while Spark emits int64 — the real driver's hash does NOT
+            # forgive the dtype (events_sessionize, red in r1+r2). Make the
+            # whole class a loud local failure.
+            bad_types = [
+                f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+                if str(t).upper() in ("HUGEINT", "UHUGEINT", "UBIGINT",
+                                      "UINTEGER", "USMALLINT", "UTINYINT")
+            ]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits driver-hostile dtypes "
+                      f"{bad_types} — cast to BIGINT/DOUBLE in the SQL")
+                n_bad += 1
+                continue
+            ora_pd = rel.fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
             n_bad += 1

@@ -131,24 +131,57 @@ def test_pack_sequences_invariants(docs):
             assert list(bing["bin_pos"]) == list(range(len(bing)))
 
 
-def test_pack_sequences_python_parity(docs):
+def test_pack_sequences_python_parity(docs, spark):
     cap = 64
+    # add a zero-token doc (empty text is possible in real corpora): the
+    # reference loop below must use the implementation's `not first` bin
+    # condition, which differs from `if fill and ...` exactly on 0-token
+    # docs (ADVICE r2)
+    extra = spark.createDataFrame(
+        [(10_001, "", "en")], "doc_id bigint, text string, lang string")
+    docs = docs.unionByName(extra)
     out = M.pack_sequences(docs, capacity=cap, n_groups=4).toPandas()
+    assert (out[out.id == 10_001].n_tokens == 0).all()
     toks = {r["id"]: r["n_tokens"] for _, r in out.iterrows()}
     groups: dict[int, list[int]] = {}
     for _, r in out.iterrows():
         groups.setdefault(r["pack_group"], []).append(r["id"])
     expect = {}
     for grp, ids in groups.items():
-        b, fill = 0, 0
+        b, fill, first = 0, 0, True
         for pos_id in sorted(ids):
             t = toks[pos_id]
-            if fill and fill + t > cap:
+            # same condition as the implementation and the DuckDB oracle:
+            # a non-first doc opens a new bin when it would overflow
+            if not first and fill + t > cap:
                 b, fill = b + 1, 0
+            first = False
             expect[pos_id] = b
             fill += t
     got = {r["id"]: r["bin_id"] for _, r in out.iterrows()}
     assert got == expect
+
+
+def test_pack_group_count_scales_with_input():
+    # the r2 sandbox default (8 groups) would put ~10^11 rows in a single
+    # pandas frame at 10^12 docs; the derived count must bound every group
+    # to PACK_GROUP_MAX_ROWS rows regardless of corpus size
+    for n_docs in (0, 1, 300, 10**6, 10**9, 10**12):
+        for par in (1, 32, 4000):
+            g = M._derive_pack_groups(n_docs, par)
+            assert g >= max(1, par)
+            assert g >= -(-n_docs // M.PACK_GROUP_MAX_ROWS)
+    assert M._derive_pack_groups(10**12, 4000) == 10**6
+
+
+def test_pack_sequences_default_groups_derived(docs):
+    # default n_groups=None derives from count + parallelism: with 300 docs
+    # the bound is parallelism, and every group stays under the row cap
+    out = M.pack_sequences(docs, capacity=64).toPandas()
+    assert len(out) == 300
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    assert out["pack_group"].max() < max(par, 1)
+    assert out.groupby("pack_group").size().max() <= M.PACK_GROUP_MAX_ROWS
 
 
 # ------------------------------------------------------------- contamination

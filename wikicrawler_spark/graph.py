@@ -91,9 +91,13 @@ def pagerank(edges: DataFrame, *, iterations: int = 6, damping: float = 0.85,
 
 
 def _star_checksum(e: DataFrame) -> tuple[int, int]:
-    """Cheap order-insensitive identity of an edge set: (count, sum of
+    """Cheap order-insensitive identity of an edge set: (count, XOR of
     per-edge 60-bit hashes). Two aggregate scalars — no driver-side edge
-    materialization, so the convergence check stays O(1) on the driver."""
+    materialization, so the convergence check stays O(1) on the driver.
+
+    The equality test is probabilistic: two *different* successive edge
+    sets with equal count and colliding XOR would terminate early with
+    wrong components — ~2^-60 per comparison, negligible."""
     # bit_xor, not sum: order-independent like sum but cannot overflow
     # (ANSI mode makes a long-sum of 60-bit hashes throw past ~8 edges)
     row = e.select(
