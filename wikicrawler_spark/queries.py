@@ -889,13 +889,78 @@ FROM ranked WHERE rank <= 5
 
 def q_lsh_ann_topk(spark, sf_dir):
     """Approximate ANN (multi-table hyperplane LSH + exact re-rank).
-    Approximation => no SQL oracle for the top-k set itself; the
-    deterministic driver gate is q_lsh_ann_recall below."""
+    Approximate vs EXACT truth — but fully deterministic given the seeded
+    hyperplanes, so the whole pipeline (sign buckets, multiprobe, candidate
+    join, re-rank) replays in DuckDB: _oracle_lsh_ann_topk embeds the
+    seeded plane constants as SQL literals. q_lsh_ann_recall remains the
+    recall-vs-exact gate."""
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("string").alias("vec_id"), "embedding"
     )
     queries = emb.filter(F.col("vec_id").cast("long") < 5)
     return S.lsh_cosine_topk(emb, queries, k=5, dim=64, n_planes=6, n_tables=8)
+
+
+def _plane_values_sql(dim: int, n_planes: int, n_tables: int,
+                      seed: int = 42) -> str:
+    """SQL VALUES rows (table_idx, bit weight, plane vector) for the seeded
+    hyperplanes simsearch.bucket_udf uses — repr() round-trips float64
+    exactly, so DuckDB sees bit-identical plane constants."""
+    rows = []
+    for t in range(n_tables):
+        planes = S._hyperplanes(dim, n_planes, seed + 1000 * t)
+        for p in range(n_planes):
+            vec = ", ".join(repr(float(x)) for x in planes[p])
+            rows.append(f"({t}, {1 << p}, [{vec}])")
+    return ",\n".join(rows)
+
+
+_SQL_LSH_BUCKETS = """
+  SELECT vid, table_idx,
+         sum(CASE WHEN list_dot_product(v, pv) > 0 THEN w ELSE 0 END)::BIGINT
+           AS bucket
+  FROM e CROSS JOIN planes GROUP BY vid, table_idx
+"""
+
+
+def _oracle_lsh_ann_topk(k: int = 5, dim: int = 64, n_planes: int = 6,
+                         n_tables: int = 8, seed: int = 42) -> str:
+    """Full DuckDB replay of lsh_cosine_topk: seeded hyperplane sign
+    buckets (plane constants inlined), per-table multiprobe (hamming-1),
+    (table, bucket) candidate join, exact cosine re-rank. Sign parity
+    between numpy's matmul and list_dot_product holds unless |dot| is
+    within summation-order noise (~1e-13 relative) of zero — vanishing for
+    random real-valued embeddings."""
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_planes)])
+    return f"""
+WITH e AS (SELECT vec_id::VARCHAR AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+planes(table_idx, w, pv) AS (VALUES {_plane_values_sql(dim, n_planes, n_tables, seed)}),
+cb AS ({_SQL_LSH_BUCKETS}),
+qb AS (
+  SELECT vid AS query_id, table_idx, unnest([{probes}]) AS bucket
+  FROM cb WHERE vid::BIGINT < 5
+),
+cand AS (
+  SELECT DISTINCT query_id, cb.vid AS neighbor_id
+  FROM qb JOIN cb USING (table_idx, bucket)
+  WHERE cb.vid <> query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(q.v, n.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))),
+               6) AS cos_sim
+  FROM cand JOIN e q ON q.vid = query_id JOIN e n ON n.vid = neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank::INT AS rank
+FROM ranked WHERE rank <= {k}
+"""
 
 
 def q_lsh_ann_recall(spark, sf_dir):
@@ -998,14 +1063,43 @@ SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 
 
 def q_embedding_near_dups_lsh(spark, sf_dir):
-    """The LSH-blocked scale path on its own (rows-only: candidates are
-    probabilistic; q_embedding_near_dups_recall is the deterministic gate).
-    This is the member bench.py times — the exact all-pairs member is
-    O(n^2) by definition and exists for verification."""
+    """The LSH-blocked scale path on its own. Approximate vs the exact
+    pair set, but deterministic given the seeded hyperplanes, so the
+    blocking itself replays in DuckDB (_oracle_emb_near_dups_lsh inlines
+    the plane constants); q_embedding_near_dups_recall stays as the
+    recall-vs-exact gate. This is the member bench.py times — the exact
+    all-pairs member is O(n^2) by definition and exists for verification."""
     emb = load(spark, sf_dir, "embeddings").select(
         F.col("vec_id").cast("long").alias("vec_id"), "embedding"
     )
     return S.embedding_near_duplicates(emb, threshold=0.4, method="lsh")
+
+
+def _oracle_emb_near_dups_lsh(threshold: float = 0.4, dim: int = 64,
+                              n_planes: int = 4, n_tables: int = 16,
+                              seed: int = 42) -> str:
+    """Full DuckDB replay of embedding_near_duplicates(method='lsh'):
+    seeded sign buckets, (table, bucket) self-join blocking, exact cosine
+    verify at the threshold. Same sign-parity argument as
+    _oracle_lsh_ann_topk."""
+    return f"""
+WITH e AS (SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+planes(table_idx, w, pv) AS (VALUES {_plane_values_sql(dim, n_planes, n_tables, seed)}),
+b AS ({_SQL_LSH_BUCKETS}),
+cand AS (
+  SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+  FROM b l JOIN b r USING (table_idx, bucket)
+  WHERE l.vid < r.vid
+),
+scored AS (
+  SELECT id_a, id_b,
+         round(list_dot_product(x.v, y.v) /
+               (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+               6) AS cos_sim
+  FROM cand JOIN e x ON x.vid = id_a JOIN e y ON y.vid = id_b
+)
+SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {threshold}
+"""
 
 
 def q_embedding_near_dups_recall(spark, sf_dir):
@@ -1964,6 +2058,8 @@ def oracle_sql() -> dict:
         "simhash_near_dups": _oracle_simhash_pairs(),
         "cosine_topk": ORACLE_COSINE_TOPK,
         "minhash_lsh_pairs": _oracle_minhash_lsh(),
+        "lsh_ann_topk": _oracle_lsh_ann_topk(),
+        "embedding_near_dups_lsh": _oracle_emb_near_dups_lsh(),
         "lsh_ann_recall": ORACLE_ANN_RECALL,
         "ivf_ann_recall": ORACLE_ANN_RECALL,  # same exact-truth assertion
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
@@ -1995,6 +2091,7 @@ def oracle_sql() -> dict:
         "pack_sequences": ORACLE_PACK,
         "contamination_check": ORACLE_CONTAMINATION,
         "bm25_search": B.bm25_oracle_sql(_BM25_QUERY, k=10),
-        # minhash_lsh_pairs / lsh_ann_topk: approximate by design -> rows-only
-        # (their deterministic recall gates are oracled separately below)
+        # every registry entry now carries a full oracle: the approximate
+        # LSH members replay their seeded candidate generation in SQL and
+        # ALSO keep deterministic recall-vs-exact gates (*_recall rows)
     }
