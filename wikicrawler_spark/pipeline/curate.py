@@ -32,25 +32,40 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
     Funnel: quality >= min_quality AND detected language == lang, then
     exact dedup on md5 of the first ``prefix_len`` chars (keep min
     doc_id), then MinHash-LSH near-dup removal at ``near_threshold``
-    (drop id_b of every verified pair), then fingerprint the kept docs."""
-    q = Q.quality_scores(docs).select("doc_id", "n_tokens", "quality")
-    l = Q.language_id(docs).select("doc_id", "lang_guess")
+    (drop id_b of every verified pair), then fingerprint the kept docs.
+
+    Tokenizes each doc ONCE: the token array is aliased as an attribute in
+    the first projection and threaded through quality, language-ID, both
+    MinHash shingle passes, and the fingerprint fold (HOF lambdas defeat
+    codegen CSE, so without the shared attribute every stage re-split the
+    text). Quality + langid are computed in the same projection — no
+    doc_id self-joins in the per-doc stage."""
+    toked = docs.select("doc_id", "text",
+                        Q._tokens(F.col("text")).alias("__toks"))
+    scored = toked.select(
+        "doc_id", "text", "__toks",
+        Q.quality_struct(F.col("text"), F.col("__toks")).alias("__q"),
+        Q.langid_struct(F.col("text"), F.col("__toks")).alias("__l"),
+    )
     base = (
-        docs.join(q, "doc_id").join(l, "doc_id")
-        .filter((F.col("quality") >= min_quality)
-                & (F.col("lang_guess") == lang))
+        scored.filter((F.col("__q.quality") >= min_quality)
+                      & (F.col("__l.lang_guess") == lang))
+        .select("doc_id", "text", "__toks",
+                F.col("__q.n_tokens").alias("n_tokens"),
+                F.col("__q.quality").alias("quality"))
     )
     w = Window.partitionBy(
         F.md5(F.substring("text", 1, prefix_len))).orderBy("doc_id")
     survivors = (
         base.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1).drop("__rn", "lang_guess")
+        .filter(F.col("__rn") == 1).drop("__rn")
     )
     pairs = D.minhash_near_duplicates(
-        survivors.select("doc_id", "text"), threshold=near_threshold)
+        survivors.select("doc_id", "text", "__toks"),
+        threshold=near_threshold, tokens_col="__toks")
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     kept = survivors.join(dropped, "doc_id", "left_anti")
-    fp = Q.fingerprint(kept.select("doc_id", "text"))
+    fp = Q.fingerprint(kept.select("doc_id", "__toks"), tokens_col="__toks")
     return (
         kept.select("doc_id", "n_tokens", "quality")
         .join(fp, "doc_id")

@@ -60,11 +60,17 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _P31) | 1, rng.randrange(_P31)) for _ in range(k)]
 
 
-def word_shingles(text_col, n: int = 3):
+def word_shingles(text_col, n: int = 3, toks=None):
     """Distinct word n-gram shingles of a text column (native). Guarded for
     short texts: Spark's sequence(0, -k) would DESCEND, so docs with fewer
-    than n tokens yield an empty shingle set explicitly."""
-    toks = F.filter(F.split(F.lower(text_col), "\\s+"), lambda t: t != F.lit(""))
+    than n tokens yield an empty shingle set explicitly. Pass ``toks`` (a
+    plan attribute holding the lowercased whitespace tokens) to reuse a
+    token array computed once upstream — the expression references the
+    token array three times and HOF lambdas defeat codegen CSE, so an
+    inline tokenize here runs per reference."""
+    if toks is None:
+        toks = F.filter(F.split(F.lower(text_col), "\\s+"),
+                        lambda t: t != F.lit(""))
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -86,12 +92,15 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  n: int = 3, with_size: bool = False) -> DataFrame:
+                  n: int = 3, with_size: bool = False,
+                  tokens_col: str | None = None) -> DataFrame:
     """Exploded (id, shingle) rows; with_size=True also carries the doc's
     distinct-shingle count INLINE (F.size before the explode — codegen CSE
     computes the array once), so consumers never need the separate
-    groupBy(id).count() pass + join that round-1 paid."""
-    arr = word_shingles(F.col(text_col), n)
+    groupBy(id).count() pass + join that round-1 paid. ``tokens_col``
+    reuses a precomputed token-array attribute (see word_shingles)."""
+    arr = word_shingles(F.col(text_col), n,
+                        toks=F.col(tokens_col) if tokens_col else None)
     if with_size:
         # two-step projection ON PURPOSE: 'arr' must be an attribute before
         # size() and explode() both reference it — CollapseProject keeps a
@@ -215,13 +224,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", n: int = 3, k: int = 16,
-                       seed: int = 42) -> DataFrame:
+                       seed: int = 42,
+                       tokens_col: str | None = None) -> DataFrame:
     """k-permutation MinHash signature per doc, fully native: shingle ->
     60-bit hash -> k MIN((a_i*h+b_i) mod p) aggregations in ONE shuffle.
     Returns (id, sig array<bigint> length k)."""
     params = _perm_params(k, seed)
     sh = (
-        shingle_table(_spread(df), id_col, text_col, n)
+        shingle_table(_spread(df), id_col, text_col, n, tokens_col=tokens_col)
         .withColumn("h", _h60(F.col("shingle")) % F.lit(_P31))
     )
     aggs = [
@@ -264,18 +274,22 @@ def minhash_lsh_candidates(sig_df: DataFrame, k: int = 16, bands: int = 4) -> Da
 def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", n: int = 3, k: int = 16,
                             bands: int = 4, threshold: float = 0.7,
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42,
+                            tokens_col: str | None = None) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> band buckets ->
     candidate pairs -> EXACT jaccard verification on candidates only.
-    Returns (id_a, id_b, jaccard >= threshold)."""
+    Returns (id_a, id_b, jaccard >= threshold). ``tokens_col`` reuses a
+    precomputed token-array attribute for both shingle passes."""
     df = _spread(df)
-    sigs = minhash_signatures(df, id_col, text_col, n, k, seed)
+    sigs = minhash_signatures(df, id_col, text_col, n, k, seed,
+                              tokens_col=tokens_col)
     cands = minhash_lsh_candidates(sigs, k, bands)
     # exact verification via the shingle inverted index restricted to
     # candidate pairs — no per-doc collect_set arrays (a giant doc would
     # otherwise materialize its whole shingle set in one row; the index
     # join streams instead, and shuffles only candidate docs' shingles)
-    shz = shingle_table(df, id_col, text_col, n, with_size=True)
+    shz = shingle_table(df, id_col, text_col, n, with_size=True,
+                        tokens_col=tokens_col)
     return _verify_jaccard(cands, shz, threshold)
 
 

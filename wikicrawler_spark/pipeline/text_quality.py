@@ -53,27 +53,23 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic quality features per doc: length, mean word length,
-    punctuation ratio, stopword ratio, uppercase-start ratio, and a
-    composite [0,1] score. Pure column arithmetic.
-
-    Tokens are materialized as an attribute in a sub-projection before the
-    stat expressions reference them: HOF lambdas defeat codegen common-
-    subexpression elimination, so inlining `_tokens(text)` into each stat
-    re-tokenized every row once per stat (measured 3x on language_id)."""
-    df = df.select("doc_id", F.col(text_col),
-                   _tokens(F.col(text_col)).alias("__toks"))
-    toks = F.col("__toks")
+def quality_struct(text: Column, toks: Column) -> Column:
+    """Quality features as one struct expression. ``toks`` MUST be a plan
+    attribute (aliased in a parent projection), not an inline expression:
+    HOF lambdas defeat codegen common-subexpression elimination, so an
+    inline `_tokens(text)` would re-tokenize once per stat (measured 3x
+    on language_id). Exposed at column level so composed pipelines
+    (pipeline.curate) share ONE token array across quality/langid/dedup/
+    fingerprint stages instead of re-tokenizing per stage."""
     n_tok = F.size(toks)
     stop_ratio = F.when(n_tok > 0,
                         _profile_hits(toks, LANG_PROFILES["en"])
                         / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(
-        F.length(text_col) > 0,
-        (F.length(text_col)
-         - F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9\\s]", "")))
-        / F.length(text_col),
+        F.length(text) > 0,
+        (F.length(text)
+         - F.length(F.regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
+        / F.length(text),
     ).otherwise(F.lit(0.0))
     mean_wlen = F.when(n_tok > 0,
                        F.aggregate(toks, F.lit(0).cast("long"),
@@ -86,8 +82,7 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
         + 0.2 * (1 - F.least(punct_ratio * 5, F.lit(1.0))),
         6,
     )
-    return df.select(
-        "doc_id",
+    return F.struct(
         n_tok.alias("n_tokens"),
         F.round(mean_wlen, 6).alias("mean_word_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
@@ -96,13 +91,27 @@ def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-ratio language ID with a CJK-character fast path.
-    Ties break alphabetically (deterministic). Returns (doc_id, lang_guess,
-    lang_score)."""
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features per doc: length, mean word length,
+    punctuation ratio, stopword ratio, and a composite [0,1] score. Pure
+    column arithmetic (see quality_struct for the HOF-CSE note)."""
     df = df.select("doc_id", F.col(text_col),
                    _tokens(F.col(text_col)).alias("__toks"))
-    toks = F.col("__toks")  # attribute, not expression — see quality_scores
+    s = quality_struct(F.col(text_col), F.col("__toks"))
+    # GetStructField(CreateNamedStruct) simplifies to the field expression,
+    # so this is the same plan as projecting the stats directly
+    return df.select(
+        "doc_id", s["n_tokens"].alias("n_tokens"),
+        s["mean_word_len"].alias("mean_word_len"),
+        s["punct_ratio"].alias("punct_ratio"),
+        s["stopword_ratio"].alias("stopword_ratio"),
+        s["quality"].alias("quality"),
+    )
+
+
+def langid_struct(text: Column, toks: Column) -> Column:
+    """Language-ID as one struct(lang_guess, lang_score) expression;
+    ``toks`` must be a plan attribute (see quality_struct)."""
     n_tok = F.greatest(F.size(toks), F.lit(1))
     scores = []
     for lang in sorted(LANG_PROFILES):
@@ -125,25 +134,39 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
             s,
         ).otherwise(acc),
     )
-    cjk = F.length(F.regexp_replace(F.col(text_col), "[^\\x{4e00}-\\x{9fff}]", ""))
-    cjk_ratio = F.when(F.length(text_col) > 0,
-                       cjk / F.length(text_col)).otherwise(F.lit(0.0))
-    return df.select(
-        "doc_id",
-        F.when(cjk_ratio > 0.3, F.lit("zh")).otherwise(best["lang"]).alias("lang_guess"),
+    cjk = F.length(F.regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", ""))
+    cjk_ratio = F.when(F.length(text) > 0,
+                       cjk / F.length(text)).otherwise(F.lit(0.0))
+    return F.struct(
+        F.when(cjk_ratio > 0.3, F.lit("zh")).otherwise(best["lang"])
+        .alias("lang_guess"),
         F.round(F.when(cjk_ratio > 0.3, cjk_ratio).otherwise(best["score"]), 6)
         .alias("lang_score"),
     )
 
 
-def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language ID with a CJK-character fast path.
+    Ties break alphabetically (deterministic). Returns (doc_id, lang_guess,
+    lang_score)."""
+    df = df.select("doc_id", F.col(text_col),
+                   _tokens(F.col(text_col)).alias("__toks"))
+    s = langid_struct(F.col(text_col), F.col("__toks"))
+    return df.select("doc_id", s["lang_guess"].alias("lang_guess"),
+                     s["lang_score"].alias("lang_score"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                tokens_col: str | None = None) -> DataFrame:
     """Order-sensitive rolling (polynomial) hash over whitespace tokens:
     fp = fold(tokens, 0, (acc, t) -> (acc*B + h60(t)%p) % p). Sequential
     per row but native (aggregate HOF), one pass, no shuffle. Content moves
-    => fingerprint changes (unlike bag-of-words hashes)."""
+    => fingerprint changes (unlike bag-of-words hashes). ``tokens_col``
+    reuses a precomputed token-array attribute instead of re-tokenizing."""
     h = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % F.lit(_FP_P)
+    toks = F.col(tokens_col) if tokens_col else _tokens(F.col(text_col))
     fp = F.aggregate(
-        _tokens(F.col(text_col)),
+        toks,
         F.lit(0).cast("long"),
         lambda acc, t: (acc * F.lit(_FP_B) + h(t)) % F.lit(_FP_P),
     )
