@@ -164,3 +164,69 @@ def test_fast_paths_equal_tree_on_adversarial_fragments(frags, opens):
     finally:
         kernel.FAST_PARAGRAPH_PATH = True
     assert fast == tree
+
+
+@st.composite
+def container_fragment(draw):
+    """Opener/closer container runs aimed at the fragment memo's classifier
+    boundaries: multi-tag openers, scope classes, void/self-closing traps,
+    whitespace in closers, mixed open+close (must fall back)."""
+    kind = draw(st.integers(0, 3))
+    tags = draw(st.lists(st.sampled_from(
+        ["div", "span", "ol", "ul", "br", "img"]), min_size=1, max_size=3))
+    def opener(t):
+        a = draw(st.sampled_from(
+            ["", ' class="mw-parser-output"', ' id="mw-content-text"',
+             ' class="x y"', ' class="mw-parser-output" id="z"', " ", "/"]))
+        return f"<{t}{a}>"
+    if kind == 0:
+        return "".join(opener(t) for t in tags)
+    if kind == 1:
+        return "".join(f"</{t}{draw(st.sampled_from(['', ' ']))}>" for t in tags)
+    if kind == 2:  # mixed: classifier must reject
+        return opener(tags[0]) + "x" + f"</{tags[0]}>"
+    return f"</{tags[0]}>" + opener(tags[0])
+
+
+@given(frags=st.lists(st.one_of(container_fragment(), fastpath_fragment(),
+                                hostile_fragment()),
+                      min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_memo_and_cscan_equal_python_tokenizer(frags):
+    """The round-3 container-fragment memo AND the C scan loop must each be
+    byte-identical to the plain python tokenizer on adversarial fragment
+    streams (including parser STATE: open-container stack + scope count,
+    which outlive the fragment)."""
+    from wikicrawler_spark import html_tokenizer as H
+
+    def run():
+        p = H.StreamParser()
+        out = []
+        for f in frags:
+            for el, sc in p.feed(f):
+                def ser(e):
+                    if isinstance(e, str):
+                        return e
+                    return (e.tag, sorted(e.attrs.items()),
+                            [ser(c) for c in e.children])
+                out.append((ser(el), sc))
+        out.append(("state", [(t, sorted(a.items())) for t, a in p._stack],
+                    p._scope_count))
+        return out
+
+    cscan, H._CSCAN = H._CSCAN, None
+    try:
+        H.CONTAINER_MEMO = False
+        plain = run()
+        H.CONTAINER_MEMO = True
+        H._FRAG_MEMO.clear()
+        memo = run()
+        assert memo == plain
+        if cscan is not None:
+            H._CSCAN = cscan
+            H.CONTAINER_MEMO = False
+            cpath = run()
+            assert cpath == plain
+    finally:
+        H._CSCAN = cscan
+        H.CONTAINER_MEMO = True

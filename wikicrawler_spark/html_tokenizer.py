@@ -121,6 +121,110 @@ def _parse_attrs(raw: str) -> dict[str, str]:
     return d
 
 
+# Container-fragment memo: scope opener/closer fragments repeat VERBATIM
+# across documents (every doc carries the same '<div id="mw-content-text">
+# <div class="mw-parser-output">' opener and '</div></div>' closer — they
+# were ~61% of all tree-path feed() calls in the round-3 census), and
+# their effect on parser state is replayable without re-tokenizing:
+#   * opener-only fragments (only non-void, non-self-closing open tags, no
+#     inter-tag text) push (tag, attrs) container entries — feed() drops
+#     any children of still-open elements at fragment end, so inter-tag
+#     text wouldn't matter, but the classifier excludes it anyway;
+#   * closer-only fragments replay _close(tag) per tag.
+# Both rely on feed()'s invariant that _build is empty between calls
+# (feed always flushes it), making the memoized effect state-independent.
+_OPENERS_ONLY = re.compile(r"(?:<([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*?)?)>)+\Z")
+_OPEN_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*?)?)>")
+_CLOSERS_ONLY = re.compile(r"(?:</([a-zA-Z][a-zA-Z0-9]*)\s*>)+\Z")
+_CLOSE_TAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+
+_FRAG_MEMO: dict[str, tuple | None] = {}
+_FRAG_MEMO_CAP = 16384
+#: test toggle — the equivalence property tests flip these to pin
+#: memo/C-scan outputs byte-identical to the plain python loop
+CONTAINER_MEMO = True
+
+
+def _load_cscan():
+    """Compile and load the C scan loop (_cscan.c) behind the repo-wide
+    import-try pattern: any failure (no compiler, read-only tmp, load
+    error) silently yields the pure-Python tokenizer. The .so is cached
+    in the tempdir keyed by source mtime+size so workers reuse one build.
+    Caveat vs the Python path: tag-name alpha/alnum checks are ASCII-only
+    in C (Python's str.isalnum accepts unicode); the fixture grammar and
+    every golden are ASCII, and non-ASCII FRAGMENTS never reach the C
+    path at all (feed routes them to the Python loop)."""
+    import ctypes
+    import hashlib
+    import os
+    import pkgutil
+    import subprocess
+    import tempfile
+
+    try:
+        # pkgutil reads the source even when the package ships as a
+        # --py-files zip (plain open()/stat() would fail there and every
+        # executor would silently fall back to the Python loop)
+        src_bytes = pkgutil.get_data(__package__ or "wikicrawler_spark",
+                                     "_cscan.c")
+        if not src_bytes:
+            return None
+        digest = hashlib.md5(src_bytes).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"wcs_cscan_{digest}.so")
+        if not os.path.exists(so):
+            tmp = so + f".build{os.getpid()}"
+            csrc = tmp + ".c"
+            with open(csrc, "wb") as fh:
+                fh.write(src_bytes)
+            subprocess.run(["gcc", "-O2", "-shared", "-fPIC", csrc, "-o", tmp],
+                           check=True, capture_output=True, timeout=60)
+            os.remove(csrc)
+            os.replace(tmp, so)  # atomic: concurrent workers race safely
+        lib = ctypes.CDLL(so)
+        lib.scan.restype = ctypes.c_int32
+        lib.scan.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                             ctypes.POINTER(ctypes.c_int32)]
+        # smoke-probe one tricky fragment before trusting it
+        probe = b"<p class=\"x\">t</p>"
+        buf = (ctypes.c_int32 * 64)()
+        ne = lib.scan(probe, len(probe), buf)
+        if ne != 3 or buf[0] != 1 or buf[10] != 2:
+            return None
+        return lib
+    except Exception:  # noqa: BLE001 — no compiler/sandbox => Python path
+        return None
+
+
+_CSCAN = _load_cscan()
+if _CSCAN is not None:
+    import ctypes as _ct
+_EV_BUF = None  # grow-only event buffer, reused across calls (one python
+#                 worker thread per process in mapInPandas; tests are
+#                 single-threaded too)
+
+
+def _classify_container_fragment(fragment: str) -> tuple | None:
+    """('open', [(tag, attrs, is_scope), ...]) | ('close', [tag, ...]) |
+    None when the fragment needs the full tokenizer."""
+    if fragment.startswith("</"):
+        if _CLOSERS_ONLY.fullmatch(fragment):
+            return ("close", [m.group(1).lower()
+                              for m in _CLOSE_TAG.finditer(fragment)])
+        return None
+    if _OPENERS_ONLY.fullmatch(fragment):
+        out = []
+        for m in _OPEN_TAG.finditer(fragment):
+            tag = m.group(1).lower()
+            raw = m.group(2)
+            if tag in _VOID_TAGS or raw.rstrip().endswith("/"):
+                return None  # void/self-closing COMPLETE as blocks
+            attrs = _parse_attrs(raw)
+            out.append((tag, attrs,
+                        "mw-parser-output" in attrs.get("class", "").split()))
+        return ("open", out)
+    return None
+
+
 class StreamParser:
     """Incremental parser over html fragments of ONE document.
 
@@ -167,6 +271,27 @@ class StreamParser:
         text is kept (pinned by the malformed-html goldens and the
         stdlib html.parser oracle)."""
         blocks: list[tuple[Element, bool]] = []
+        # container-fragment memo fast path (see _classify_container_fragment)
+        if CONTAINER_MEMO and fragment.startswith("<"):
+            try:
+                memo = _FRAG_MEMO[fragment]
+            except KeyError:
+                if len(_FRAG_MEMO) >= _FRAG_MEMO_CAP:
+                    _FRAG_MEMO.clear()
+                memo = _FRAG_MEMO[fragment] = \
+                    _classify_container_fragment(fragment)
+            if memo is not None:
+                if memo[0] == "open":
+                    for tag, attrs, is_scope in memo[1]:
+                        self._stack.append((tag, attrs))
+                        if is_scope:
+                            self._scope_count += 1
+                else:
+                    for tag in memo[1]:
+                        self._close(tag, blocks)
+                return blocks
+        if _CSCAN is not None and fragment.isascii():
+            return self._feed_events(fragment, blocks)
         build = self._build
         parts = fragment.split("<")
         text = parts[0]
@@ -221,6 +346,56 @@ class StreamParser:
             # whitespace in the fixture grammar; dropped.
         # Any elements still open at fragment end become cross-fragment
         # containers (scope markers): move them to the container stack.
+        for el in self._build:
+            self._stack.append((el.tag, el.attrs))
+            if self._is_scope(el.attrs):
+                self._scope_count += 1
+        self._build = []
+        return blocks
+
+    def _feed_events(self, fragment: str,
+                     blocks: list[tuple[Element, bool]]) -> list:
+        """C-scan path: _cscan.scan tokenizes the (ASCII) fragment into an
+        int32 event buffer; this loop replays the events with byte offsets
+        slicing the original str (valid because ASCII ⇒ byte offset ==
+        char offset). Event semantics mirror the Python loop exactly —
+        pinned by the goldens, the stdlib-oracle suite, and the
+        cscan-vs-python property test."""
+        global _EV_BUF
+
+        raw = fragment.encode()
+        n = len(raw)
+        need = 5 * (n // 2 + 2)
+        if _EV_BUF is None or len(_EV_BUF) < need:
+            _EV_BUF = (_ct.c_int32 * max(need, 4096))()
+        buf = _EV_BUF
+        ne = _CSCAN.scan(raw, n, buf)
+        build = self._build
+        j = 0
+        for e in range(ne):
+            t = buf[j]
+            a0 = buf[j + 1]
+            a1 = buf[j + 2]
+            if t == 0:
+                if build:
+                    text = fragment[a0:a1]
+                    build[-1].children.append(
+                        unescape(text) if "&" in text else text)
+            elif t == 2:
+                self._close(fragment[a0:a1].lower(), blocks)
+            else:  # 1 = open, 3 = self-closing open
+                tag = fragment[a0:a1].lower()
+                el = Element(tag, _parse_attrs(fragment[buf[j + 3]:buf[j + 4]]))
+                if t == 3 or tag in _VOID_TAGS:
+                    if build:
+                        build[-1].children.append(el)
+                    else:
+                        blocks.append((el, self.in_content_scope))
+                else:
+                    if build:
+                        build[-1].children.append(el)
+                    build.append(el)
+            j += 5
         for el in self._build:
             self._stack.append((el.tag, el.attrs))
             if self._is_scope(el.attrs):
