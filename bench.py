@@ -135,10 +135,15 @@ def extract_run(cores: int, corpus_path: str) -> dict:
     fused()  # warm pass (untimed): JVM + python workers + split listing
     # the sandbox VM shows 1-7% steal time and noisy-neighbor swings;
     # min over passes estimates uncontended throughput (the caller also
-    # min-merges across two interleaved subprocess rounds)
-    t0 = time.monotonic()
-    fused()
-    secs = time.monotonic() - t0
+    # min-merges across two interleaved subprocess rounds). r3: min-of-2
+    # timed passes — a single pass left the headline hostage to one bad
+    # scheduling window (observed ±25% on contended sessions).
+    secs = None
+    for _ in range(2):
+        t0 = time.monotonic()
+        fused()
+        dt = time.monotonic() - t0
+        secs = dt if secs is None else min(secs, dt)
     out = {"cores": cores, "docs": n, "secs": round(secs, 3),
            "tasks": n_tasks, "docs_per_sec": round(n / secs, 2)}
     if cores == 32:  # declarative-scan passes for the fused-vs-std record

@@ -214,7 +214,14 @@ def test_memo_and_cscan_equal_python_tokenizer(frags):
                     p._scope_count))
         return out
 
-    cscan, H._CSCAN = H._CSCAN, None
+    # cscan is opt-in (WCS_CSCAN=1) — force-load it here so the C path
+    # stays property-covered regardless of the env default
+    cscan = H._CSCAN or H._load_cscan()
+    if cscan is not None and not hasattr(H, "_ct"):
+        import ctypes
+        H._ct = ctypes
+    prev = H._CSCAN
+    H._CSCAN = None
     try:
         H.CONTAINER_MEMO = False
         plain = run()
@@ -228,5 +235,5 @@ def test_memo_and_cscan_equal_python_tokenizer(frags):
             cpath = run()
             assert cpath == plain
     finally:
-        H._CSCAN = cscan
+        H._CSCAN = prev
         H.CONTAINER_MEMO = True

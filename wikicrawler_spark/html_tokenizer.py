@@ -195,7 +195,16 @@ def _load_cscan():
         return None
 
 
-_CSCAN = _load_cscan()
+# The C scan is OPT-IN (WCS_CSCAN=1): measured +17% single-core over the
+# r2 baseline (+3% over the memo alone) but NEUTRAL-to-slightly-negative
+# at local[32] where the kernel is memory-bandwidth-bound and the
+# per-fragment ctypes call overhead cancels the scan win (interleaved A/B
+# in BENCH/BASELINE.md). The headline metric is parallel throughput, so
+# the default stays on the pure-Python loop; the artifact remains for
+# single-core-bound deployments and as the measured spike record.
+import os as _os
+
+_CSCAN = _load_cscan() if _os.environ.get("WCS_CSCAN") == "1" else None
 if _CSCAN is not None:
     import ctypes as _ct
 _EV_BUF = None  # grow-only event buffer, reused across calls (one python
