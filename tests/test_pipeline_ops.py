@@ -396,3 +396,48 @@ def test_ngram_jaccard_scale_guard_routes_to_lsh(near_dup_df):
     lsh = D.minhash_near_duplicates(near_dup_df, threshold=0.5)
     assert sorted(map(tuple, guarded.collect())) == \
         sorted(map(tuple, lsh.collect()))
+
+
+# ------------------------------------------- repetition scores / PII scrub
+
+def test_repetition_scores_planted(spark):
+    rows = [
+        ("d1", "spam spam spam spam spam"),          # one token dominates
+        ("d2", "a b c d e f g h"),                   # all distinct
+        ("d3", "x y z x y z x y z"),                 # repeated 3-gram phrase
+        ("d4", ""),                                  # empty
+        ("d5", "one two"),                           # shorter than n
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in Q.repetition_scores(df).collect()}
+    assert out["d1"]["top_token_frac"] == 1.0
+    assert out["d1"]["dup_ngram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert out["d2"]["top_token_frac"] == pytest.approx(1 / 8, abs=1e-6)
+    assert out["d2"]["dup_ngram_frac"] == 0.0
+    # d3: 7 grams, distinct = {xyz, yzx, zxy} = 3 -> 1 - 3/7
+    assert out["d3"]["dup_ngram_frac"] == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert out["d3"]["top_token_frac"] == pytest.approx(3 / 9, abs=1e-6)
+    assert out["d4"]["n_tokens"] == 0
+    assert out["d4"]["top_token_frac"] == 0.0
+    assert out["d4"]["dup_ngram_frac"] == 0.0
+    assert out["d5"]["dup_ngram_frac"] == 0.0  # < n tokens -> no grams
+
+
+def test_pii_scrub_planted(spark):
+    rows = [
+        ("d1", "mail me at jo.doe+x@example.co.uk or call 555-123-4567."),
+        ("d2", "server at 10.0.0.1 and 192.168.1.255 up"),
+        ("d3", "no pii here"),
+        ("d4", "a@b.io a@b.io"),  # duplicate emails both scrubbed+counted
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in Q.pii_scrub(df).collect()}
+    assert out["d1"]["scrubbed"] == "mail me at <EMAIL> or call <PHONE>."
+    assert out["d1"]["n_email"] == 1 and out["d1"]["n_phone"] == 1
+    assert out["d2"]["scrubbed"] == "server at <IPV4> and <IPV4> up"
+    assert out["d2"]["n_ipv4"] == 2
+    assert out["d3"]["scrubbed"] == "no pii here"
+    assert (out["d3"]["n_email"], out["d3"]["n_phone"], out["d3"]["n_ipv4"]) \
+        == (0, 0, 0)
+    assert out["d4"]["scrubbed"] == "<EMAIL> <EMAIL>"
+    assert out["d4"]["n_email"] == 2

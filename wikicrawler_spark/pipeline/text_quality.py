@@ -156,6 +156,85 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                      s["lang_score"].alias("lang_score"))
 
 
+def repetition_scores(df: DataFrame, text_col: str = "text",
+                      n: int = 3) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 heuristics,
+    re-expressed relationally): per doc,
+      * top_token_frac — occurrences of the most frequent token / all
+        tokens (Gopher drops docs where one token dominates);
+      * dup_ngram_frac — 1 - distinct/total word n-grams (repeated-phrase
+        mass; 0 for docs shorter than n tokens).
+    Returns (doc_id, n_tokens, top_token_frac, dup_ngram_frac), fractions
+    rounded to 6.
+
+    Plan: one explode + two-level groupBy for the token mode (map-side
+    partial aggs; the per-doc key count is bounded by vocabulary), and a
+    pure array expression for the n-gram ratio — no per-doc collects, both
+    legs join back on doc_id. 100% SQL-replayable."""
+    toked = df.select("doc_id", _tokens(F.lower(F.col(text_col))).alias("__t"))
+    tok_counts = (
+        toked.select("doc_id", F.explode("__t").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+    )
+    grams = F.when(
+        F.size("__t") >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__t") - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("__t"), i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = toked.select(
+        "doc_id",
+        F.size("__t").alias("__sz"),
+        F.size(F.array_distinct(grams)).alias("__d"),
+        F.size(grams).alias("__g"),
+    )
+    return (
+        per_doc.join(tok_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("__sz").cast("int").alias("n_tokens"),
+            F.round(F.when(F.col("n_tok") > 0,
+                           F.col("top_c") / F.col("n_tok"))
+                    .otherwise(F.lit(0.0)), 6).alias("top_token_frac"),
+            F.round(F.when(F.col("__g") > 0,
+                           1 - F.col("__d") / F.col("__g"))
+                    .otherwise(F.lit(0.0)), 6).alias("dup_ngram_frac"),
+        )
+    )
+
+
+#: PII patterns — conservative syntax that parses identically under Java
+#: regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs. The scrub
+#: is the standard pre-training redaction pass (emails/phones/IPv4).
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4s with typed placeholder tokens
+    and count matches per doc. Returns
+    (doc_id, scrubbed, n_email, n_phone, n_ipv4). Fully native
+    (regexp_replace / regexp_extract_all in one projection — zero
+    shuffles, streams at any scale); order of passes matters (email first
+    so user@10.0.0.1-style hosts scrub as one email, then phones, then
+    bare IPv4s) and the oracle replays the same order."""
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+        .alias(f"n_{k}") for k, p in PII_PATTERNS.items()
+    ]
+    scrubbed = F.col(text_col)
+    for k, p in PII_PATTERNS.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"<{k.upper()}>")
+    return df.select("doc_id", scrubbed.alias("scrubbed"), *counts)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 tokens_col: str | None = None) -> DataFrame:
     """Order-sensitive rolling (polynomial) hash over whitespace tokens:

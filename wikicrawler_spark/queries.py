@@ -1458,6 +1458,63 @@ FROM t
 """
 
 
+def q_repetition_scores(spark, sf_dir):
+    """Gopher-style repetition filters (top-token dominance + duplicate
+    n-gram mass) over the documents table — reference capability anchor:
+    the curation mandate (the reference has no corpus layer)."""
+    return Q.repetition_scores(_docs_text(spark, sf_dir))
+
+
+ORACLE_REPETITION = f"""
+WITH t AS (
+  SELECT doc_id::VARCHAR AS doc_id, {_SQL_TOKS} AS toks FROM documents
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+  GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_tok
+  FROM tok_counts GROUP BY doc_id
+), g AS (
+  SELECT doc_id, len(toks)::INT AS n_tokens,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(1, len(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE []::VARCHAR[] END AS grams
+  FROM t
+)
+SELECT g.doc_id, g.n_tokens,
+       round(coalesce(top_c * 1.0 / n_tok, 0), 6) AS top_token_frac,
+       round(CASE WHEN len(grams) > 0
+             THEN 1 - len(list_distinct(grams)) * 1.0 / len(grams)
+             ELSE 0 END, 6) AS dup_ngram_frac
+FROM g LEFT JOIN agg ON g.doc_id = agg.doc_id
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction pass (emails/phones/IPv4 -> typed placeholders +
+    per-doc counts) — standard pre-training scrub; patterns chosen to
+    parse identically under Java regex and RE2 so DuckDB replays the
+    full scrubbed text."""
+    return Q.pii_scrub(_docs_text(spark, sf_dir))
+
+
+def _oracle_pii() -> str:
+    e, p, i = (Q.PII_PATTERNS["email"], Q.PII_PATTERNS["phone"],
+               Q.PII_PATTERNS["ipv4"])
+    return f"""
+SELECT doc_id::VARCHAR AS doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'),
+           '{i}', '<IPV4>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{e}'))::INT AS n_email,
+       len(regexp_extract_all(text, '{p}'))::INT AS n_phone,
+       len(regexp_extract_all(text, '{i}'))::INT AS n_ipv4
+FROM documents
+"""
+
+
 def q_language_id(spark, sf_dir):
     return Q.language_id(_docs_text(spark, sf_dir))
 
@@ -1961,6 +2018,9 @@ def queries() -> dict:
     # sit first; the tail holds queries green in BOTH r1 and r2 driver runs
     # (extract family) that can safely fall outside a 50-entry window.
     return {
+        # -- new in r3 (never driver-checked) --
+        "repetition_scores": q_repetition_scores,
+        "pii_scrub": q_pii_scrub,
         # -- never driver-checked in r2 (fell past the 50-entry cutoff) --
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
@@ -2070,6 +2130,8 @@ def oracle_sql() -> dict:
         "sketch_accuracy": ORACLE_SKETCH,
         "curate_corpus": _oracle_curate(),
         "token_counts": ORACLE_TOKEN_COUNTS,
+        "repetition_scores": ORACLE_REPETITION,
+        "pii_scrub": _oracle_pii(),
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
         "fingerprint": ORACLE_FINGERPRINT,
