@@ -441,3 +441,29 @@ def test_pii_scrub_planted(spark):
         == (0, 0, 0)
     assert out["d4"]["scrubbed"] == "<EMAIL> <EMAIL>"
     assert out["d4"]["n_email"] == 2
+
+
+def test_chunk_documents_planted(spark):
+    toks = [f"t{i}" for i in range(30)]
+    rows = [
+        ("d1", " ".join(toks)),      # 30 tokens, chunk=12 overlap=4 -> stride 8
+        ("d2", "a b c"),             # shorter than one chunk
+        ("d3", ""),                  # empty -> no chunks
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = Q.chunk_documents(df, chunk_tokens=12, overlap=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc["d1"], key=lambda r: r["chunk_idx"])
+    # ceil(max(30-4,1)/8) = 4 chunks at starts 0,8,16,24
+    assert [r["chunk_idx"] for r in d1] == [0, 1, 2, 3]
+    assert d1[0]["chunk_text"].split() == toks[0:12]
+    assert d1[1]["chunk_text"].split() == toks[8:20]
+    assert d1[3]["chunk_text"].split() == toks[24:30]  # short tail
+    assert d1[3]["n_chunk_tokens"] == 6
+    # every token covered; consecutive chunks overlap by exactly 4
+    assert set(sum((r["chunk_text"].split() for r in d1), [])) == set(toks)
+    assert d1[0]["chunk_text"].split()[-4:] == d1[1]["chunk_text"].split()[:4]
+    assert len(by_doc["d2"]) == 1 and by_doc["d2"][0]["n_chunk_tokens"] == 3
+    assert "d3" not in by_doc

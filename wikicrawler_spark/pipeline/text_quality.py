@@ -207,6 +207,45 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     )
 
 
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:
+    """Sliding-window document chunking (context-window prep for training /
+    retrieval): token windows of ``chunk_tokens`` advancing by
+    ``chunk_tokens - overlap``; the final window may be short; empty docs
+    yield no chunks. Returns (doc_id, chunk_idx, chunk_text,
+    n_chunk_tokens).
+
+    Fully native: tokens as an attribute, windows via transform+slice over
+    a sequence, one posexplode — no shuffle, no Python. n_chunks =
+    ceil(max(n_tok - overlap, 1) / stride), so every token lands in >=1
+    chunk and no chunk starts past the end."""
+    assert 0 <= overlap < chunk_tokens
+    stride = chunk_tokens - overlap
+    toked = df.select("doc_id", _tokens(F.col(text_col)).alias("__t"))
+    n = F.size("__t")
+    n_chunks = F.when(
+        n > 0,
+        F.ceil(F.greatest(n - overlap, F.lit(1)) / F.lit(stride)),
+    ).otherwise(F.lit(0)).cast("int")
+    # sequence(0, -1) DESCENDS — the n_chunks==0 case must short-circuit
+    windows = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.slice(F.col("__t"), i * stride + 1, chunk_tokens),
+        ),
+    ).otherwise(F.array().cast("array<array<string>>"))
+    return (
+        toked.select("doc_id", F.posexplode(windows).alias("chunk_idx", "__w"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.array_join("__w", " ").alias("chunk_text"),
+            F.size("__w").cast("int").alias("n_chunk_tokens"),
+        )
+    )
+
+
 #: PII patterns — conservative syntax that parses identically under Java
 #: regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs. The scrub
 #: is the standard pre-training redaction pass (emails/phones/IPv4).

@@ -1515,6 +1515,33 @@ FROM documents
 """
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window context-window chunking over the documents table
+    (training/retrieval prep — curation-mandate op)."""
+    return Q.chunk_documents(_docs_text(spark, sf_dir),
+                             chunk_tokens=32, overlap=8)
+
+
+ORACLE_CHUNKS = f"""
+WITH t AS (
+  SELECT doc_id::VARCHAR AS doc_id, {_SQL_TOKS} AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > 0
+              THEN cast(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT)
+              ELSE 0 END AS nc
+  FROM t
+), x AS (
+  SELECT doc_id, toks, unnest(range(0, nc))::INT AS chunk_idx FROM c
+)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+         AS chunk_text,
+       len(toks[chunk_idx*24+1 : chunk_idx*24+32])::INT AS n_chunk_tokens
+FROM x
+"""
+
+
 def q_language_id(spark, sf_dir):
     return Q.language_id(_docs_text(spark, sf_dir))
 
@@ -2021,6 +2048,7 @@ def queries() -> dict:
         # -- new in r3 (never driver-checked) --
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
+        "chunk_documents": q_chunk_documents,
         # -- never driver-checked in r2 (fell past the 50-entry cutoff) --
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
@@ -2132,6 +2160,7 @@ def oracle_sql() -> dict:
         "token_counts": ORACLE_TOKEN_COUNTS,
         "repetition_scores": ORACLE_REPETITION,
         "pii_scrub": _oracle_pii(),
+        "chunk_documents": ORACLE_CHUNKS,
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
         "fingerprint": ORACLE_FINGERPRINT,
