@@ -320,7 +320,16 @@ def test_latex_converter_extended_grammar():
     assert lt("x_i + y_{2}") == "xᵢ + y₂"
     assert lt("z^\\alpha stays") == "z^α stays"  # unmapped: marker kept
     assert lt("\\begin{equation}E = mc^2\\end{equation}") == "E = mc²"
-    assert lt("\\begin{matrix}a & b\\end{matrix}") == "a & b"
+    # r3: matrix-family environments render alignment ('&' -> ' ',
+    # '\\\\' -> '; ', delimiter wrap per family) instead of the r2
+    # leave-as-is divergence
+    assert lt("\\begin{matrix}a & b\\end{matrix}") == "a b"
+    assert lt("\\begin{pmatrix} a & b \\\\ c & d \\end{pmatrix}") \
+        == "(a b; c d)"
+    assert lt("\\begin{bmatrix}1&0\\\\0&1\\end{bmatrix}") == "[1 0; 0 1]"
+    assert lt("\\begin{vmatrix}x\\end{vmatrix}") == "|x|"
+    assert lt("\\sqrt[3]{x}") == "3√(x)"          # optional-arg root (r3)
+    assert lt("\\frac{a^{2}}{b}") == "a²/b"       # script-in-arg nesting (r3)
     assert lt("no latex here") == "no latex here"
 
 

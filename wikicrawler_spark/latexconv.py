@@ -37,6 +37,18 @@ _TEXT_CMD_RE = re.compile(
     r"operatorname)\{([^{}]*)\}"
 )
 _SQRT_RE = re.compile(r"\\sqrt\{([^{}]*)\}")
+# \sqrt[n]{x} -> n-th root: "n√(x)" (optional-argument form, r3)
+_SQRT_OPT_RE = re.compile(r"\\sqrt\[([^\[\]]*)\]\{([^{}]*)\}")
+# matrix-family environments (r3): rows (\\) -> '; ', columns (&) -> ' ',
+# wrapped per delimiter family — a pinned readable rendering of what
+# pylatexenc lays out with alignment
+_MATRIX_RE = re.compile(
+    r"\\begin\{(pmatrix|bmatrix|vmatrix|Vmatrix|matrix|smallmatrix|cases)\}"
+    r"(.*?)\\end\{\1\}", re.S)
+_MATRIX_WRAP = {"pmatrix": ("(", ")"), "bmatrix": ("[", "]"),
+                "vmatrix": ("|", "|"), "Vmatrix": ("\u2016", "\u2016"),
+                "matrix": ("", ""), "smallmatrix": ("", ""),
+                "cases": ("{", "")}
 # environments are structure, not content: markers dropped, contents kept
 _ENV_RE = re.compile(r"\\(?:begin|end)\{[A-Za-z*]+\}")
 # ^{abc} / _{abc} / ^c / _c (single non-space char)
@@ -62,29 +74,56 @@ def _script_repl(m: re.Match) -> str:
     return marker + content  # unmapped: keep marker, drop braces (pinned)
 
 
+def _matrix_repl(m: re.Match) -> str:
+    left, right = _MATRIX_WRAP[m.group(1)]
+    rows = [r.strip() for r in m.group(2).split("\\\\")]
+    rendered = "; ".join(
+        " ".join(c.strip() for c in row.split("&")) for row in rows if row
+    )
+    return f"{left}{rendered}{right}"
+
+
+def _wrapper_pass(text: str) -> str:
+    """One inside-out resolution loop over the brace-argument wrappers."""
+    prev = None
+    while prev != text:
+        prev = text
+        text = _TEXT_CMD_RE.sub(r"\1", text)
+        text = _SQRT_OPT_RE.sub("\\1\u221a(\\2)", text)
+        text = _SQRT_RE.sub("\u221a(\\1)", text)
+        text = _FRAC_RE.sub(r"\1/\2", text)
+    return text
+
+
 def latex_to_text(text: str) -> str:
     """Deterministic LaTeX fragment -> unicode. Identity on plain text.
 
     Pinned approximation of pylatexenc's LatexNodes2Text over the fixture
     grammar (the library is absent from this runtime; the reference uses it
-    at grabber.py:177-180): environments-as-noop, \\text-family wrappers
-    keep their argument, \\sqrt{x} -> \u221a(x), \\frac{a}{b} -> a/b,
-    ^/_ scripts -> unicode super/subscripts when every char has a form
-    (else the marker is kept and braces dropped), greek/symbol commands via
-    the table above, unknown commands keep their name, then $ { } are
-    stripped. Alignment chars (&, \\\\) inside environments are left as-is
-    (pinned divergence: pylatexenc renders tabular alignment)."""
+    at grabber.py:177-180): matrix-family environments render rows as '; '
+    and columns as ' ' inside their delimiter pair (r3), other
+    environments-as-noop, \\text-family wrappers keep their argument,
+    \\sqrt{x} -> \u221a(x) and \\sqrt[n]{x} -> n\u221a(x) (r3),
+    \\frac{a}{b} -> a/b, ^/_ scripts -> unicode super/subscripts when
+    every char has a form (else the marker is kept and braces dropped),
+    greek/symbol commands via the table above, unknown commands keep their
+    name, then $ { } are stripped. The wrapper loop runs once more AFTER
+    script substitution (r3) so arguments that themselves contained
+    ^{...}/_{...} (e.g. \\frac{a^{2}}{b}) resolve instead of passing
+    through; for inputs without such nesting the second pass is a no-op,
+    so all pre-r3 outputs are unchanged. Alignment chars outside the
+    matrix family are left as-is (pinned divergence)."""
     if ("\\" not in text and "$" not in text and "^" not in text
             and "_" not in text):
         return text
+    text = _MATRIX_RE.sub(_matrix_repl, text)
     text = _ENV_RE.sub("", text)
-    prev = None
-    while prev != text:  # resolve simple nesting inside-out
-        prev = text
-        text = _TEXT_CMD_RE.sub(r"\1", text)
-        text = _SQRT_RE.sub("\u221a(\\1)", text)
-        text = _FRAC_RE.sub(r"\1/\2", text)
-    text = _CMD_RE.sub(lambda m: _GREEK.get(m.group(1), m.group(1)), text)
+    text = _wrapper_pass(text)
+    # scripts BEFORE the command table: the table strips the backslash off
+    # any command it sees, which would destroy a \frac/\sqrt whose args
+    # still held ^{...}/_{...} before the second wrapper pass could fire
     text = _SCRIPT_RE.sub(_script_repl, text)
+    text = _wrapper_pass(text)
+    text = _CMD_RE.sub(lambda m: _GREEK.get(m.group(1), m.group(1)), text)
     text = text.replace("$", "").replace("{", "").replace("}", "")
     return text
