@@ -211,3 +211,20 @@ def test_stream_event_windows_watermark_drops_late(spark, tmp_path):
     # invariant worth pinning: nothing beyond watermark 9:30 in out1)
     if not out1.empty:
         assert (out1.window_end <= dt.datetime(2024, 1, 1, 9, 30)).all()
+
+
+def test_stream_watermarked_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: re-delivery inside the watermark
+    horizon is dropped (same output as the unbounded dedup here), but the
+    state is horizon-bounded — the at-scale variant for unbounded runs."""
+    in_dir = str(tmp_path / "in_wm")
+    out_dir = str(tmp_path / "out_wm")
+    ck = str(tmp_path / "ck_wm")
+    docs = [corpus.generate_doc("basic_article", i) for i in range(5)]
+    _write_chunk(spark, docs, in_dir)
+    _write_chunk(spark, docs[:3], in_dir)  # re-delivery within the horizon
+    q = stream_extract(spark, in_dir, out_dir, ck,
+                       dedup_watermark="10 minutes", max_files_per_trigger=1)
+    q.awaitTermination()
+    got = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
+    assert sorted(got) == sorted(d["doc_id"] for d in docs)

@@ -32,6 +32,7 @@ def stream_extract(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     dedup_doc_ids: bool = False,
+    dedup_watermark: str | None = None,
 ):
     """Incremental extraction: new doc parquet files -> span parquet.
 
@@ -44,12 +45,29 @@ def stream_extract(
     (dropDuplicates over the state store): a doc_id re-delivered in a later
     micro-batch (at-least-once upstreams, re-crawled pages) is extracted
     once — the streaming analog of the batch visited anti-join (SURVEY T9).
+    NOTE its state grows with DISTINCT ids forever; for an unbounded run
+    at corpus scale use ``dedup_watermark`` instead, which expires state.
+
+    ``dedup_watermark`` (e.g. ``"10 minutes"``) switches to
+    ``dropDuplicatesWithinWatermark`` over an ingest-time column: a
+    re-delivery arriving within the horizon is dropped, state older than
+    the horizon expires — bounded state for an unbounded stream, the
+    at-scale default (at-least-once upstreams redeliver within minutes,
+    not days; re-crawls beyond the horizon are NEW fetches by design,
+    matching the reference's cache-refresh behavior).
     """
     reader = spark.readStream.schema(DOC_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
-    if dedup_doc_ids:
+    if dedup_watermark is not None:
+        docs = (
+            docs.withColumn("__ingest_ts", F.current_timestamp())
+            .withWatermark("__ingest_ts", dedup_watermark)
+            .dropDuplicatesWithinWatermark(["doc_id"])
+            .drop("__ingest_ts")
+        )
+    elif dedup_doc_ids:
         docs = docs.dropDuplicates(["doc_id"])
     spans = extract_spans(docs, latex=latex)
     writer = (
