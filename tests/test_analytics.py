@@ -351,19 +351,28 @@ def test_regex_nltk_fixture_parity(spark):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     # the report script is itself part of the contract: it must run clean
-    # (exit 0 = no fixture-parity violation when nltk is present) and the
-    # checked-in report must be regenerable byte-identical
+    # (exit 0 = no fixture-parity violation when nltk is present); the
+    # byte-identical regeneration check only applies in the environment
+    # class that produced the checked-in report (nltk absent + driver
+    # testdata present) — elsewhere the regenerated content legitimately
+    # differs (live nltk sections, different body counts) (review r3)
+    import tempfile
+
     report = os.path.join(repo, "BENCH", "NLTK_PARITY.md")
     with open(report) as fh:
         checked_in = fh.read()
+    regen = os.path.join(tempfile.mkdtemp(), "regen.md")
     out = subprocess.run(
         [_sys.executable, os.path.join(repo, "scripts", "nltk_parity_report.py"),
-         "/tmp/_nltk_parity_regen.md"],
+         regen],
         capture_output=True, text=True)
     assert out.returncode == 0, out.stdout + out.stderr
-    with open("/tmp/_nltk_parity_regen.md") as fh:
-        assert fh.read() == checked_in, \
-            "BENCH/NLTK_PARITY.md is stale — rerun scripts/nltk_parity_report.py"
+    same_env = (not nltk_compat.HAS_NLTK
+                and os.path.exists("/root/testdata/sf0.001/documents.parquet"))
+    if same_env:
+        with open(regen) as fh:
+            assert fh.read() == checked_in, \
+                "BENCH/NLTK_PARITY.md is stale — rerun scripts/nltk_parity_report.py"
 
     if not nltk_compat.HAS_NLTK:
         pytest.skip("nltk absent: report regeneration checked; live "

@@ -329,6 +329,10 @@ def test_latex_converter_extended_grammar():
     assert lt("\\begin{bmatrix}1&0\\\\0&1\\end{bmatrix}") == "[1 0; 0 1]"
     assert lt("\\begin{vmatrix}x\\end{vmatrix}") == "|x|"
     assert lt("\\sqrt[3]{x}") == "3√(x)"          # optional-arg root (r3)
+    # cases renders rows/cols but no brace delimiter (the global brace
+    # strip would delete it)
+    assert lt("\\begin{cases}x & x>0 \\\\ 0 & else\\end{cases}") \
+        == "x x>0; 0 else"
     assert lt("\\frac{a^{2}}{b}") == "a²/b"       # script-in-arg nesting (r3)
     assert lt("no latex here") == "no latex here"
 

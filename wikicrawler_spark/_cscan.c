@@ -20,6 +20,11 @@
  */
 #include <stdint.h>
 
+/* python str.strip() whitespace for ASCII: space, \t-\r (0x09-0x0d),
+   and the file/group/record/unit separators 0x1c-0x1f (review r3) */
+static int is_ws(unsigned char c) {
+    return c == ' ' || (c >= 0x09 && c <= 0x0d) || (c >= 0x1c && c <= 0x1f);
+}
 static int is_alpha(unsigned char c) {
     return (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z');
 }
@@ -63,8 +68,8 @@ int32_t scan(const unsigned char *s, int32_t n, int32_t *ev) {
         } else if (c0 == '/') {
             /* close tag: strip + lower + isalnum */
             int32_t a = inner0 + 1, b = inner1;
-            while (a < b && (s[a]==' '||s[a]=='\t'||s[a]=='\n'||s[a]=='\r')) a++;
-            while (b > a && (s[b-1]==' '||s[b-1]=='\t'||s[b-1]=='\n'||s[b-1]=='\r')) b--;
+            while (a < b && is_ws(s[a])) a++;
+            while (b > a && is_ws(s[b-1])) b--;
             int ok = (b > a);
             for (int32_t k = a; k < b; k++) {
                 if (!is_alnum(s[k])) { ok = 0; break; }
@@ -86,8 +91,8 @@ int32_t scan(const unsigned char *s, int32_t n, int32_t *ev) {
                inner.strip() only in the sp==-1 branch. Replicate: */
             int32_t t0 = inner0;
             if (sp >= e) {  /* no space: strip whole inner */
-                while (t0 < t_end && (s[t0]==' '||s[t0]=='\t'||s[t0]=='\n'||s[t0]=='\r')) t0++;
-                while (t_end > t0 && (s[t_end-1]==' '||s[t_end-1]=='\t'||s[t_end-1]=='\n'||s[t_end-1]=='\r')) t_end--;
+                while (t0 < t_end && is_ws(s[t0])) t0++;
+                while (t_end > t0 && is_ws(s[t_end-1])) t_end--;
             }
             int ok = (t_end > t0) && is_alpha(s[t0]);
             if (ok) {

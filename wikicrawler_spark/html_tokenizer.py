@@ -133,8 +133,11 @@ def _parse_attrs(raw: str) -> dict[str, str]:
 #   * closer-only fragments replay _close(tag) per tag.
 # Both rely on feed()'s invariant that _build is empty between calls
 # (feed always flushes it), making the memoized effect state-independent.
-_OPENERS_ONLY = re.compile(r"(?:<([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*?)?)>)+\Z")
-_OPEN_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*?)?)>")
+# literal space ONLY between tag and attrs: the python loop splits on
+# inner.find(" "), so a tab/newline separator makes it DROP the tag — the
+# classifier must not accept what the loop rejects (review r3)
+_OPENERS_ONLY = re.compile(r"(?:<([a-zA-Z][a-zA-Z0-9]*)((?: [^<>]*?)?)>)+\Z")
+_OPEN_TAG = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)((?: [^<>]*?)?)>")
 _CLOSERS_ONLY = re.compile(r"(?:</([a-zA-Z][a-zA-Z0-9]*)\s*>)+\Z")
 _CLOSE_TAG = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
 
@@ -170,7 +173,13 @@ def _load_cscan():
         if not src_bytes:
             return None
         digest = hashlib.md5(src_bytes).hexdigest()[:16]
-        so = os.path.join(tempfile.gettempdir(), f"wcs_cscan_{digest}.so")
+        # per-user 0700 cache dir + ownership check before CDLL: a world-
+        # writable shared path would let any local user pre-plant a .so at
+        # the (computable) digest name (review r3)
+        cache_dir = os.path.join(tempfile.gettempdir(),
+                                 f"wcs_cscan_u{os.getuid()}")
+        os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        so = os.path.join(cache_dir, f"wcs_cscan_{digest}.so")
         if not os.path.exists(so):
             tmp = so + f".build{os.getpid()}"
             csrc = tmp + ".c"
@@ -180,6 +189,9 @@ def _load_cscan():
                            check=True, capture_output=True, timeout=60)
             os.remove(csrc)
             os.replace(tmp, so)  # atomic: concurrent workers race safely
+        st = os.stat(so)
+        if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+            return None  # not ours or group/world-writable: refuse to load
         lib = ctypes.CDLL(so)
         lib.scan.restype = ctypes.c_int32
         lib.scan.argtypes = [ctypes.c_char_p, ctypes.c_int32,
@@ -280,8 +292,12 @@ class StreamParser:
         text is kept (pinned by the malformed-html goldens and the
         stdlib html.parser oracle)."""
         blocks: list[tuple[Element, bool]] = []
-        # container-fragment memo fast path (see _classify_container_fragment)
-        if CONTAINER_MEMO and fragment.startswith("<"):
+        # container-fragment memo fast path (see _classify_container_fragment).
+        # The length gate keeps unique multi-KB paragraph fragments out of
+        # the cache: without it the dict fills with None-valued full-text
+        # keys and the cap-clear evicts the hot opener/closer entries the
+        # memo exists for (review r3); real container runs are short.
+        if CONTAINER_MEMO and len(fragment) <= 192 and fragment.startswith("<"):
             try:
                 memo = _FRAG_MEMO[fragment]
             except KeyError:

@@ -48,7 +48,9 @@ _MATRIX_RE = re.compile(
 _MATRIX_WRAP = {"pmatrix": ("(", ")"), "bmatrix": ("[", "]"),
                 "vmatrix": ("|", "|"), "Vmatrix": ("\u2016", "\u2016"),
                 "matrix": ("", ""), "smallmatrix": ("", ""),
-                "cases": ("{", "")}
+                # no '{' delimiter for cases: the final brace-strip would
+                # delete it anyway (review r3) \u2014 rows/columns still render
+                "cases": ("", "")}
 # environments are structure, not content: markers dropped, contents kept
 _ENV_RE = re.compile(r"\\(?:begin|end)\{[A-Za-z*]+\}")
 # ^{abc} / _{abc} / ^c / _c (single non-space char)

@@ -125,12 +125,15 @@ def pack_sequences(df: DataFrame, *, capacity: int = 256,
     ``applyInPandas`` pass. Token counts are computed natively BEFORE the
     Python stage, so only (id, group, n_tokens) rows cross into Arrow.
 
-    ``n_groups=None`` (the default) derives the group count from a cheap
-    metadata-backed ``count()`` so that no group exceeds
-    ``PACK_GROUP_MAX_ROWS`` rows — the r2 sandbox default of 8 groups
-    would have put ~10^11 rows in one pandas frame at 10^12 docs (VERDICT
-    r2 perf-weak item). Pass an explicit value when deterministic group
-    assignment must be replayed by an oracle.
+    ``n_groups=None`` (the default) derives the group count from a
+    ``count()`` so that no group exceeds ``PACK_GROUP_MAX_ROWS`` rows —
+    the r2 sandbox default of 8 groups would have put ~10^11 rows in one
+    pandas frame at 10^12 docs (VERDICT r2 perf-weak item). NOTE the
+    count executes the input's full lineage once: metadata-cheap for a
+    bare table scan, a real extra pass for a derived plan — callers
+    packing the output of an expensive pipeline should pass ``n_groups``
+    explicitly (also required when an oracle must replay the group
+    assignment deterministically).
     """
     if n_groups is None:
         n_groups = _derive_pack_groups(

@@ -34,6 +34,14 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
 
 
+def _cased_tokens(text: Column) -> Column:
+    """Whitespace tokens WITHOUT lowercasing — for operators whose output
+    carries the text payload itself (chunking), where destroying case
+    would corrupt the product (review r3); the stats operators above keep
+    the lowered form."""
+    return F.filter(F.split(text, "\\s+"), lambda t: t != F.lit(""))
+
+
 def _profile_hits(toks: Column, words: list[str]) -> Column:
     """Count of tokens that belong to ``words``, via an IN-list predicate:
     with >= 10 literals Catalyst compiles In to InSet (hash-set probe per
@@ -171,7 +179,8 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
     partial aggs; the per-doc key count is bounded by vocabulary), and a
     pure array expression for the n-gram ratio — no per-doc collects, both
     legs join back on doc_id. 100% SQL-replayable."""
-    toked = df.select("doc_id", _tokens(F.lower(F.col(text_col))).alias("__t"))
+    # _tokens already lowercases — no outer F.lower (review r3)
+    toked = df.select("doc_id", _tokens(F.col(text_col)).alias("__t"))
     tok_counts = (
         toked.select("doc_id", F.explode("__t").alias("tok"))
         .groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
@@ -186,11 +195,15 @@ def repetition_scores(df: DataFrame, text_col: str = "text",
                 " ", *[F.element_at(F.col("__t"), i + j + 1) for j in range(n)]),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    # grams as an attribute before size/array_distinct both reference it —
+    # the repo's HOF-CSE rule (an inline copy builds the n-gram array
+    # twice per row; review r3)
     per_doc = toked.select(
-        "doc_id",
-        F.size("__t").alias("__sz"),
-        F.size(F.array_distinct(grams)).alias("__d"),
-        F.size(grams).alias("__g"),
+        "doc_id", F.size("__t").alias("__sz"), grams.alias("__grams"),
+    ).select(
+        "doc_id", "__sz",
+        F.size(F.array_distinct("__grams")).alias("__d"),
+        F.size("__grams").alias("__g"),
     )
     return (
         per_doc.join(tok_counts, "doc_id", "left")
@@ -221,7 +234,8 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
     chunk and no chunk starts past the end."""
     assert 0 <= overlap < chunk_tokens
     stride = chunk_tokens - overlap
-    toked = df.select("doc_id", _tokens(F.col(text_col)).alias("__t"))
+    # case-preserving tokens: chunk_text IS the payload (review r3)
+    toked = df.select("doc_id", _cased_tokens(F.col(text_col)).alias("__t"))
     n = F.size("__t")
     n_chunks = F.when(
         n > 0,

@@ -1522,9 +1522,13 @@ def q_chunk_documents(spark, sf_dir):
                              chunk_tokens=32, overlap=8)
 
 
+# case-PRESERVING token split: chunk_text is the payload (review r3)
+_SQL_TOKS_CASED = ("list_filter(regexp_split_to_array(text, '\\s+'), "
+                   "x -> x <> '')")
+
 ORACLE_CHUNKS = f"""
 WITH t AS (
-  SELECT doc_id::VARCHAR AS doc_id, {_SQL_TOKS} AS toks FROM documents
+  SELECT doc_id::VARCHAR AS doc_id, {_SQL_TOKS_CASED} AS toks FROM documents
 ), c AS (
   SELECT doc_id, toks,
          CASE WHEN len(toks) > 0
