@@ -1154,8 +1154,13 @@ def q_curate_corpus(spark, sf_dir):
 
 
 def _oracle_curate(min_quality: float = 0.5, lang: str = "en",
-                   threshold: float = 0.5, k: int = 16, bands: int = 4) -> str:
-    """End-to-end DuckDB replay of curate_corpus (n=3 shingles, seed 42)."""
+                   threshold: float = 0.5, k: int = 16, bands: int = 4,
+                   src: str = "documents",
+                   id_sql: str = "doc_id::VARCHAR") -> str:
+    """End-to-end DuckDB replay of curate_corpus (n=3 shingles, seed 42).
+    ``src``/``id_sql`` redirect the whole chain to another relation (used
+    by the composed training_corpus oracle, where the input is the
+    extraction's kept-paragraph body)."""
     params = D._perm_params(k)
     h = _SQL_H60.format(x="shingle")
     mins = ",\n         ".join(
@@ -1175,14 +1180,15 @@ def _oracle_curate(min_quality: float = 0.5, lang: str = "en",
     fp = ("list_reduce(list_prepend(0::BIGINT, list_transform("
           + _SQL_TOKS + ", t -> " + _SQL_H60.format(x="t")
           + " % 2147483647)), (acc, x) -> (acc * 1000003 + x) % 2147483647)")
+    d_id = id_sql.replace("doc_id", "d.doc_id", 1)
     return f"""
-WITH q AS ({_oracle_quality()}),
-l AS ({_oracle_langid()}),
+WITH q AS ({_oracle_quality(src, id_sql)}),
+l AS ({_oracle_langid(src, id_sql)}),
 base AS (
-  SELECT d.doc_id::VARCHAR AS doc_id, d.text, q.n_tokens, q.quality
-  FROM documents d
-  JOIN q ON q.doc_id = d.doc_id::VARCHAR
-  JOIN l ON l.doc_id = d.doc_id::VARCHAR
+  SELECT {d_id} AS doc_id, d.text, q.n_tokens, q.quality
+  FROM {src} d
+  JOIN q ON q.doc_id = {d_id}
+  JOIN l ON l.doc_id = {d_id}
   WHERE q.quality >= {min_quality} AND l.lang_guess = '{lang}'
 ), ranked_base AS (
   SELECT *, row_number() OVER (PARTITION BY md5(substring(text, 1, 30))
@@ -1220,6 +1226,50 @@ inter AS (
 SELECT s.doc_id, s.n_tokens::INT AS n_tokens, s.quality, {fp} AS fingerprint
 FROM survivors s
 WHERE s.doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+def q_training_corpus(spark, sf_dir):
+    """END-TO-END training-data assembly in ONE declarative plan: raw
+    interleaved docs -> fused extraction kernel -> kept-paragraph body ->
+    curation funnel (quality/language gates, exact prefix dedup,
+    MinHash-LSH near-dup removal) -> sliding-window context chunks. The
+    whole pipeline a reference user would run to turn crawled pages into
+    model-ready chunks, expressed so Catalyst sees every stage at once —
+    and every stage is SQL-replayable, so the oracle recomputes the full
+    chain from the raw documents table."""
+    from .pipeline.curate import curate_corpus
+
+    spans = _flat(extract_spans(wrapped_docs(spark, sf_dir)))
+    body = spans.filter(F.col("kind") == "paragraph").select("doc_id", "text")
+    curated = curate_corpus(body)
+    kept = curated.select("doc_id").join(body, "doc_id")
+    return Q.chunk_documents(kept, chunk_tokens=32, overlap=8)
+
+
+def _oracle_training_corpus() -> str:
+    """Whole-chain replay: kernel paragraph-keep rule -> curation chain
+    (redirected to the body CTE) -> chunk slicing."""
+    curate = _oracle_curate(src="body", id_sql="doc_id")
+    return f"""
+WITH body AS (
+  SELECT 'wiki/doc_' || doc_id AS doc_id, text
+  FROM documents WHERE {_SQL_PARA_KEPT}
+), curated AS ({curate}),
+kept AS (SELECT c.doc_id, b.text FROM curated c JOIN body b USING (doc_id)),
+t AS (SELECT doc_id, {_SQL_TOKS_CASED} AS toks FROM kept),
+c2 AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > 0
+              THEN cast(ceil(greatest(len(toks) - 8, 1) / 24.0) AS INT)
+              ELSE 0 END AS nc
+  FROM t
+), x AS (SELECT doc_id, toks, unnest(range(0, nc))::INT AS chunk_idx FROM c2)
+SELECT doc_id, chunk_idx,
+       array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+         AS chunk_text,
+       len(toks[chunk_idx*24+1 : chunk_idx*24+32])::INT AS n_chunk_tokens
+FROM x
 """
 
 
@@ -1430,11 +1480,14 @@ def q_quality_scores(spark, sf_dir):
     return Q.quality_scores(_docs_text(spark, sf_dir))
 
 
-def _oracle_quality() -> str:
+def _oracle_quality(src: str = "documents",
+                    id_sql: str = "doc_id::VARCHAR") -> str:
+    """``src``/``id_sql`` let composed oracles (training_corpus) replay the
+    chain over a CTE whose id is already a VARCHAR."""
     en = "[" + ", ".join(f"'{w}'" for w in Q.LANG_PROFILES["en"]) + "]"
     return f"""
 WITH t AS (
-  SELECT doc_id::VARCHAR AS doc_id, text, {_SQL_TOKS} AS toks FROM documents
+  SELECT {id_sql} AS doc_id, text, {_SQL_TOKS} AS toks FROM {src}
 )
 SELECT doc_id,
        len(toks)::INT AS n_tokens,
@@ -1550,7 +1603,8 @@ def q_language_id(spark, sf_dir):
     return Q.language_id(_docs_text(spark, sf_dir))
 
 
-def _oracle_langid() -> str:
+def _oracle_langid(src: str = "documents",
+                   id_sql: str = "doc_id::VARCHAR") -> str:
     selects = []
     for lang in sorted(Q.LANG_PROFILES):
         if lang == "zh":
@@ -1564,7 +1618,7 @@ def _oracle_langid() -> str:
     scored = "\nUNION ALL\n".join(selects)
     return f"""
 WITH t AS (
-  SELECT doc_id::VARCHAR AS doc_id, text, {_SQL_TOKS} AS toks FROM documents
+  SELECT {id_sql} AS doc_id, text, {_SQL_TOKS} AS toks FROM {src}
 ), scored AS (
   {scored}
 ), ranked AS (
@@ -1573,11 +1627,11 @@ WITH t AS (
   FROM scored
 ), best AS (SELECT doc_id, lang, score FROM ranked WHERE rn = 1),
 cjk AS (
-  SELECT doc_id::VARCHAR AS doc_id,
+  SELECT {id_sql} AS doc_id,
          CASE WHEN length(text) > 0
            THEN length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) * 1.0 / length(text)
            ELSE 0 END AS cjk_ratio
-  FROM documents
+  FROM {src}
 )
 SELECT b.doc_id,
        CASE WHEN c.cjk_ratio > 0.3 THEN 'zh' ELSE b.lang END AS lang_guess,
@@ -2050,6 +2104,7 @@ def queries() -> dict:
     # (extract family) that can safely fall outside a 50-entry window.
     return {
         # -- new in r3 (never driver-checked) --
+        "training_corpus": q_training_corpus,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "chunk_documents": q_chunk_documents,
@@ -2167,6 +2222,7 @@ def oracle_sql() -> dict:
         "repetition_scores": ORACLE_REPETITION,
         "pii_scrub": _oracle_pii(),
         "chunk_documents": ORACLE_CHUNKS,
+        "training_corpus": _oracle_training_corpus(),
         "quality_scores": _oracle_quality(),
         "language_id": _oracle_langid(),
         "fingerprint": ORACLE_FINGERPRINT,
