@@ -1242,6 +1242,13 @@ def q_training_corpus(spark, sf_dir):
 
     spans = _flat(extract_spans(wrapped_docs(spark, sf_dir)))
     body = spans.filter(F.col("kind") == "paragraph").select("doc_id", "text")
+    # the body feeds MANY plan branches (quality/langid gates, both MinHash
+    # shingle passes, the final chunk join) and Spark has no cross-branch
+    # subplan CSE — unpersisted, the extraction KERNEL re-executes once per
+    # branch (11 scans in the audited plan). Persist = the registry-scale
+    # stand-in for what the production pipeline does here: materialize the
+    # extraction output as a table before curation.
+    body = body.persist()
     curated = curate_corpus(body)
     kept = curated.select("doc_id").join(body, "doc_id")
     return Q.chunk_documents(kept, chunk_tokens=32, overlap=8)
