@@ -66,6 +66,7 @@ HEADLINE = [
     "pack_sequences",
     "contamination_check",
     "bm25_search",
+    "training_corpus",
 ]
 
 
