@@ -313,18 +313,22 @@ def main() -> None:
     sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
     registry = Q.queries()
     per_query: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry[name]
-        try:
-            best = None
-            for _ in range(2):  # best-of-2: the host is noisy-neighbored
+    # ROUND-interleaved best-of-2: two full passes over the list instead of
+    # two consecutive runs per query — a multi-minute neighbor-contention
+    # burst then hits each query once, not both of its samples (observed:
+    # minhash_lsh_pairs 58 s in one window vs 5.4 s same-code same-day)
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = registry[name]
+            try:
                 t0 = time.monotonic()
                 run_noop(fn(spark, SF_DIR))
-                dt = time.monotonic() - t0
-                best = dt if best is None else min(best, dt)
-            per_query[name] = round(best, 3)
-        except Exception:  # noqa: BLE001
-            per_query[name] = -1.0  # failed marker; never kill the report
+                dt = round(time.monotonic() - t0, 3)
+                if name not in per_query or (0 < dt < per_query[name]) \
+                        or per_query[name] < 0:
+                    per_query[name] = dt
+            except Exception:  # noqa: BLE001
+                per_query.setdefault(name, -1.0)  # failed marker
     spark.stop()
 
     print(json.dumps({
