@@ -227,7 +227,8 @@ def main() -> None:
             for n, n4 in pair_effs:
                 if n in rnd and n4 in rnd:
                     pair_effs[(n, n4)].append(
-                        (rnd[n4]["docs_per_sec"] / rnd[n]["docs_per_sec"]) / 4.0)
+                        ((rnd[n4]["docs_per_sec"] / rnd[n]["docs_per_sec"]) / 4.0,
+                         rnd[n]["docs_per_sec"]))
 
         # Two N-vs-4N pairs, both inside the VM's real parallel capacity:
         # (2,8) is the cluster-like headline pair; (1,4) sits deepest in
@@ -243,10 +244,21 @@ def main() -> None:
         # paired-rounds headline turned out to SELECT upward noise
         # (a contended small-N run in one round produced a >1 'efficiency').
         def _eff(n, n4):
-            return min(
-                1.0,
-                round((best[n4]["docs_per_sec"] / best[n]["docs_per_sec"])
-                      / 4.0, 3))
+            # best-per-level ratio: under noise this can only UNDERSTATE
+            # (a big-N level that never caught a quiet window drags its
+            # side down). Complement: per-round PAIRED ratios, but only
+            # rounds whose small-N leg reached >= 90% of the best-known
+            # small-N throughput — that validates the denominator, so a
+            # contended small-N run cannot inflate the ratio (the failure
+            # mode that made raw max-of-paired dishonest). Headline = max
+            # of the two, capped at 1.0.
+            per_level = (best[n4]["docs_per_sec"]
+                         / best[n]["docs_per_sec"]) / 4.0
+            floor = 0.9 * best[n]["docs_per_sec"]
+            validated = [e for e, small in pair_effs[(n, n4)]
+                         if small >= floor]
+            paired = max(validated, default=0.0)
+            return min(1.0, round(max(per_level, paired), 3))
 
         for _ in range(2):
             _round_of((1, 2, 4, 8, 32))
@@ -296,8 +308,10 @@ def main() -> None:
             (thr32 / thr8) / cal["capacity_ratio_8_to_32"], 3),
             "efficiency": eff_best,
             "efficiency_pair": best_pair,
+            # (eff, small-N docs/s) per round: the small-N leg shows which
+            # rounds pass the 90%-of-best denominator validation
             "paired_round_effs": {
-                f"{n}_to_{n4}": [round(x, 3) for x in v]
+                f"{n}_to_{n4}": [[round(e, 3), round(s, 1)] for e, s in v]
                 for (n, n4), v in pair_effs.items()
             },
             "cpu_calibration": cal,
