@@ -95,24 +95,35 @@ def test_query_matches_oracle(spark, con, name):
         )
 
 
-def test_driver_window_holds_unverified_queries():
-    """The driver's correctness gate covered only the FIRST 50 registry
-    entries in r2 — so every query WITHOUT two green driver rounds behind
-    it must sit inside that window. The tail-safe set below is exactly the
-    queries green in BOTH r1 and r2 driver runs; adding a new query at the
-    END of the registry (past position 50) trips this test."""
-    tail_safe = {
-        "extract_headings", "extract_wikitables", "span_offsets_dense",
-        "media_manifest", "page_view", "markdown_docs", "extract_toc",
-        "extract_see_also", "extract_references", "extract_categories",
-        "orders_by_nation", "upsert_latest", "validate_doc_ids",
-        "extract_titles", "extract_paragraphs", "extract_link_counts",
-        "word_freq", "argmax_freq", "bigram_collocations", "search_direct",
-        "tpch_q1", "top_orders_per_customer", "most_similar_token",
-        "dedup_exact_prefix",
-    }
+def test_driver_window_holds_stale_queries():
+    """Staleness rotation rule (VERDICT r3 #1): the driver's correctness
+    gate covers only the FIRST 50 registry entries, so a query may sit in
+    the tail ONLY while its dependency fingerprint (its function source +
+    every package function/class/constant it transitively references + its
+    oracle SQL — scripts/dep_fingerprint.py) is byte-identical to the
+    state its last green driver round actually verified, as recorded in
+    tests/driver_verified_hashes.json. Editing any code a tail query
+    transitively imports trips this test until the query is rotated into
+    the window (or the edit reverted). Refresh the manifest as the LAST
+    step of a round: `python scripts/refresh_dep_manifest.py <round>`."""
+    import json
+
+    from scripts.dep_fingerprint import query_fingerprint
+
+    manifest_path = os.path.join(os.path.dirname(__file__),
+                                 "driver_verified_hashes.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+
     names = list(entrymod.queries())
-    outside = [n for n in names[50:] if n not in tail_safe]
-    assert outside == [], (
-        f"never-twice-green queries outside the driver's 50-entry gate "
-        f"window: {outside} — move them earlier in queries()")
+    problems = []
+    for n in names[50:]:
+        rec = manifest.get(n)
+        if rec is None:
+            problems.append(f"{n}: never driver-verified")
+        elif query_fingerprint(n) != rec["hash"]:
+            problems.append(
+                f"{n}: deps changed since driver round {rec['round']}")
+    assert problems == [], (
+        "stale queries outside the driver's 50-entry gate window — move "
+        "them into the first 50 of queries():\n  " + "\n  ".join(problems))
