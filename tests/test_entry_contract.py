@@ -95,6 +95,18 @@ def test_query_matches_oracle(spark, con, name):
         )
 
 
+def test_training_corpus_leaves_no_persisted_rdds(spark):
+    """VERDICT r3 "What's wrong" #2: the extraction-body materialization
+    boundary must not leak cached blocks into the rest of the session —
+    it's now an explicit temp-table write, so the persistent-RDD set is
+    unchanged after the query executes."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    df = entrymod.queries()["training_corpus"](spark, SF_DIR)
+    assert df.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after == before, (before, after)
+
+
 def test_driver_window_holds_stale_queries():
     """Staleness rotation rule (VERDICT r3 #1): the driver's correctness
     gate covers only the FIRST 50 registry entries, so a query may sit in

@@ -334,6 +334,14 @@ def test_latex_converter_extended_grammar():
     assert lt("\\begin{cases}x & x>0 \\\\ 0 & else\\end{cases}") \
         == "x x>0; 0 else"
     assert lt("\\frac{a^{2}}{b}") == "a²/b"       # script-in-arg nesting (r3)
+    # nested same-family matrices pair innermost-first (ADVICE r3 -> r4:
+    # fixpoint loop + lookahead body; the old non-greedy body paired the
+    # outer \begin with the INNER \end and left an orphan \end)
+    assert lt("\\begin{pmatrix} a & \\begin{pmatrix} x \\\\ y "
+              "\\end{pmatrix} \\\\ c & d \\end{pmatrix}") \
+        == "(a (x; y); c d)"
+    assert lt("\\begin{cases}x & \\begin{vmatrix}m\\end{vmatrix}"
+              "\\end{cases}") == "x |m|"
     assert lt("no latex here") == "no latex here"
 
 

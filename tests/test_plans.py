@@ -92,6 +92,22 @@ def test_mixing_op_plan_shapes(spark):
     assert c["broadcast"] == 1 and c["python"] == 0, c
 
 
+def test_repetition_scores_zero_exchange(spark):
+    """r4 one-pass formulation: the token mode is the longest equal-run in
+    the sorted token array (single F.aggregate scan), so the whole query is
+    one narrow projection — ZERO exchanges, no join, no Python stage (the
+    old explode + two-groupBy + join plan had 3 exchanges AND tokenized the
+    text twice across un-CSE'd branches)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["repetition_scores"](spark, SF_DIR)
+    c = _counts(df)
+    assert c == {"exchange": 0, "broadcast": 0, "python": 0}, c
+    # one tokenize: the split() appears exactly once in the optimized plan
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert opt.count("split(") <= 1, opt.count("split(")
+
+
 def test_bm25_plan_shape(spark):
     """BM25: term filter sits under the postings aggregation (shuffle
     carries matching postings only), df/stats joins are broadcasts, no

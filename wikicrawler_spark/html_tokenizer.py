@@ -179,6 +179,13 @@ def _load_cscan():
         cache_dir = os.path.join(tempfile.gettempdir(),
                                  f"wcs_cscan_u{os.getuid()}")
         os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+        # makedirs(exist_ok=True) accepts a PRE-EXISTING dir owned by
+        # another local user, in whose dir the stat->CDLL gap below is a
+        # TOCTOU window (file swapped after the check) — verify the dir
+        # itself, not just the .so (ADVICE r3)
+        dst = os.stat(cache_dir)
+        if dst.st_uid != os.getuid() or (dst.st_mode & 0o022):
+            return None
         so = os.path.join(cache_dir, f"wcs_cscan_{digest}.so")
         if not os.path.exists(so):
             tmp = so + f".build{os.getpid()}"
@@ -188,6 +195,9 @@ def _load_cscan():
             subprocess.run(["gcc", "-O2", "-shared", "-fPIC", csrc, "-o", tmp],
                            check=True, capture_output=True, timeout=60)
             os.remove(csrc)
+            # read-only-for-owner so a umask-002 host doesn't build a
+            # group-writable .so that permanently fails the mode check
+            os.chmod(tmp, 0o500)
             os.replace(tmp, so)  # atomic: concurrent workers race safely
         st = os.stat(so)
         if st.st_uid != os.getuid() or (st.st_mode & 0o022):

@@ -41,10 +41,15 @@ _SQRT_RE = re.compile(r"\\sqrt\{([^{}]*)\}")
 _SQRT_OPT_RE = re.compile(r"\\sqrt\[([^\[\]]*)\]\{([^{}]*)\}")
 # matrix-family environments (r3): rows (\\) -> '; ', columns (&) -> ' ',
 # wrapped per delimiter family — a pinned readable rendering of what
-# pylatexenc lays out with alignment
+# pylatexenc lays out with alignment. The body disallows a nested \begin
+# of the family (negative lookahead), so each sub pass converts only
+# INNERMOST matrices; latex_to_text loops to fixpoint for nesting — a
+# plain non-greedy body paired an outer \begin with the inner \end,
+# garbling nested same-family matrices (ADVICE r3).
+_MATRIX_FAMS = r"pmatrix|bmatrix|vmatrix|Vmatrix|matrix|smallmatrix|cases"
 _MATRIX_RE = re.compile(
-    r"\\begin\{(pmatrix|bmatrix|vmatrix|Vmatrix|matrix|smallmatrix|cases)\}"
-    r"(.*?)\\end\{\1\}", re.S)
+    r"\\begin\{(" + _MATRIX_FAMS + r")\}"
+    r"((?:(?!\\begin\{(?:" + _MATRIX_FAMS + r")\}).)*?)\\end\{\1\}", re.S)
 _MATRIX_WRAP = {"pmatrix": ("(", ")"), "bmatrix": ("[", "]"),
                 "vmatrix": ("|", "|"), "Vmatrix": ("\u2016", "\u2016"),
                 "matrix": ("", ""), "smallmatrix": ("", ""),
@@ -118,7 +123,10 @@ def latex_to_text(text: str) -> str:
     if ("\\" not in text and "$" not in text and "^" not in text
             and "_" not in text):
         return text
-    text = _MATRIX_RE.sub(_matrix_repl, text)
+    prev = None
+    while prev != text:  # innermost-first: fixpoint resolves nesting (r4)
+        prev = text
+        text = _MATRIX_RE.sub(_matrix_repl, text)
     text = _ENV_RE.sub("", text)
     text = _wrapper_pass(text)
     # scripts BEFORE the command table: the table strips the backslash off
