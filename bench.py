@@ -343,6 +343,38 @@ def main() -> None:
                     per_query[name] = dt
             except Exception:  # noqa: BLE001
                 per_query.setdefault(name, -1.0)  # failed marker
+
+    # -- crawl headline (VERDICT r3 #6): fixed-seed 6-wave frontier run
+    # over the scaling corpus with full checkpointing — tracked per round
+    # so a frontier regression is visible, with wave metrics recorded.
+    # Run ONCE (not best-of-2): it is multi-action and ~2 min.
+    crawl_stats: dict = {"error": None}
+    try:
+        import shutil
+        import tempfile
+
+        from wikicrawler_spark import corpus as C
+        from wikicrawler_spark.frontier import crawl as run_crawl
+
+        if not os.path.exists(os.path.join(CORPUS_PATH, "_SUCCESS")):
+            _sub(["--gen-corpus", str(BENCH_DOCS), CORPUS_PATH])
+        docs = spark.read.parquet(CORPUS_PATH)
+        ck = tempfile.mkdtemp(prefix="wcs_bench_crawl_")
+        seeds = [C.doc_id_for("basic_article", 0),
+                 C.doc_id_for("media_interleaved", 0)]
+        t0 = time.monotonic()
+        res = run_crawl(spark, docs, seeds, max_waves=6, use_bloom=True,
+                        num_partitions=64, visited_buckets=32, ckpt_dir=ck)
+        n_visited = res.visited.count()
+        dt = round(time.monotonic() - t0, 3)
+        per_query["crawl_6waves"] = dt
+        crawl_stats = {"secs": dt, "visited": n_visited,
+                       "waves": res.waves, "wave_sizes": res.wave_sizes,
+                       "docs": BENCH_DOCS, "seeds": seeds}
+        shutil.rmtree(ck, ignore_errors=True)
+    except Exception as e:  # noqa: BLE001
+        crawl_stats = {"error": str(e)[:300]}
+        per_query["crawl_6waves"] = -1.0
     spark.stop()
 
     print(json.dumps({
@@ -352,6 +384,7 @@ def main() -> None:
         "queries": per_query,
         "sf": sf,
         "scaling": scaling,
+        "crawl": crawl_stats,
     }))
 
 

@@ -61,17 +61,21 @@ TOKEN_PATTERN = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
 SENTENCE_SPLIT = "(?<=[.!?])\\s+"
 
 # Tokenizer backend: 'regex' (default — native, codegen, what every golden
-# and oracle is computed against) or 'nltk' (reference-exact punkt/PTB via
-# Arrow-batched pandas UDFs; only selectable when nltk + punkt data are
-# importable — see nltk_compat.py). Explicit opt-in, never autodetected.
+# and oracle is computed against), 'treebank' (r4: VENDORED exact Penn
+# Treebank word cascade — nltk's word-level output with no library; see
+# treebank.py — sentences stay on the pinned regex split), or 'nltk'
+# (punkt + PTB via the real library; only selectable when nltk + punkt
+# data are importable — see nltk_compat.py). Explicit opt-in, never
+# autodetected.
 _TOKENIZER_BACKEND = "regex"
 
 
 def set_tokenizer_backend(backend: str) -> None:
     """Switch sentence/word tokenization between the pinned native regex
-    spec and nltk punkt/PTB (reference parity, paragraph.py:72-73)."""
+    spec, the vendored Treebank cascade, and nltk punkt/PTB (reference
+    parity, paragraph.py:72-73)."""
     global _TOKENIZER_BACKEND
-    if backend not in ("regex", "nltk"):
+    if backend not in ("regex", "treebank", "nltk"):
         raise ValueError(f"unknown tokenizer backend {backend!r}")
     if backend == "nltk":
         from . import nltk_compat
@@ -112,17 +116,27 @@ def sentences_col(body: Column) -> Column:
         from . import nltk_compat
 
         return nltk_compat.nltk_sentences(body)
+    if _TOKENIZER_BACKEND == "treebank":
+        from . import nltk_compat
+
+        return nltk_compat.treebank_sentences(body)
     return F.filter(F.split(body, SENTENCE_SPLIT), lambda s: s != F.lit(""))
 
 
 def tokens_col(body: Column) -> Column:
     """A3: word tokenization. Default: native regexp_extract_all (pinned
-    spec); with the 'nltk' backend: Penn-Treebank via pandas UDF
-    (reference-exact, paragraph.py:73)."""
+    spec); 'treebank': the vendored exact PTB cascade via pandas UDF
+    (nltk's word-level output, no library — treebank.py); 'nltk':
+    Penn-Treebank via the real library (reference-exact incl. punkt
+    sentence boundaries, paragraph.py:73)."""
     if _TOKENIZER_BACKEND == "nltk":
         from . import nltk_compat
 
         return nltk_compat.nltk_word_tokens(body)
+    if _TOKENIZER_BACKEND == "treebank":
+        from . import nltk_compat
+
+        return nltk_compat.treebank_word_tokens(body)
     return F.regexp_extract_all(body, F.lit(TOKEN_PATTERN), F.lit(0))
 
 

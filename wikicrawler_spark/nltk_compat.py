@@ -43,3 +43,25 @@ if HAS_NLTK:  # pragma: no cover - environment-dependent
 else:
     nltk_word_tokens = None
     nltk_sentences = None
+
+
+# Vendored Penn Treebank backend (treebank.py): exact NLTKWordTokenizer
+# cascade, no library needed. Sentence boundaries come from the
+# punkt-approximating heuristic splitter (punkt itself is a trained model
+# and stays library-gated), so the word-level step is reference-exact and
+# the only residual divergence vs real nltk is sentence segmentation on
+# constructs the heuristic misses (measured in BENCH/NLTK_PARITY.md).
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def treebank_word_tokens(body: pd.Series) -> pd.Series:
+    from .treebank import punktish_sentence_split, treebank_word_tokenize
+
+    return body.map(lambda s: [t for sent in punktish_sentence_split(s or "")
+                               for t in treebank_word_tokenize(sent)])
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def treebank_sentences(body: pd.Series) -> pd.Series:
+    from .treebank import punktish_sentence_split
+
+    return body.map(lambda s: punktish_sentence_split(s or ""))

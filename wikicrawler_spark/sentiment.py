@@ -5,31 +5,34 @@ The reference scores each sentence and each word with VADER
 blends them 50/50 per key (sentiment/utils/dict_add.py:1-6):
     blended[k] = 0.5 * sentence_score[k] + 0.5 * word_score[k]
 
-nltk/vaderSentiment are not available in this runtime, so scoring uses a
-small deterministic valence lexicon with VADER-shaped outputs
-(neg/neu/pos/compound, compound normalized x/sqrt(x^2+15) like VADER's
-normalize()) — a pinned, documented stand-in. If nltk's VADER is importable
-it is preferred (import-try), keeping outputs compatible where available.
+r4: the fallback scorer is no longer a stand-in — vader.py vendors the
+FULL published VADER algorithm (Hutto & Gilbert 2014, MIT: boosters,
+tri-gram negation, but-clause, allcaps + punctuation emphasis, idiom
+overrides, alpha-15 normalization, the (v±1) sift), so scores are VADER's
+numbers wherever the word is in the vendored lexicon subset. If nltk's
+VADER is importable it is still preferred (import-try, full 7.5k lexicon);
+a gated test asserts vendored == nltk verbatim on lexicon-covered text.
+``_EXTRA_LEXICON`` overlays engine-pinned values for fixture vocabulary
+absent from the vendored subset — those words score deterministically but
+are NOT claimed as VADER lexicon values.
 
 Scoring runs as ONE vectorized pandas UDF; the 50/50 blend is native
 arithmetic on struct fields (A10), not Python.
 """
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-# Deterministic fallback lexicon (valence in [-4, 4], VADER-style scale).
-_LEXICON = {
-    "good": 1.9, "great": 3.1, "excellent": 3.2, "luminous": 1.5,
-    "radiant": 2.0, "love": 3.2, "beautiful": 2.9, "best": 3.2,
-    "ancient": 0.4, "modern": 0.8, "giant": 0.5,
-    "bad": -2.5, "terrible": -2.1, "awful": -2.0, "worst": -3.1,
-    "hate": -2.7, "dark": -0.7, "dead": -2.9, "collapse": -1.6,
+from . import vader as _vader
+
+# Engine-pinned additions for fixture vocabulary (valence in [-4, 4]).
+_EXTRA_LEXICON = {
+    "luminous": 1.5, "radiant": 2.0, "ancient": 0.4, "modern": 0.8,
+    "giant": 0.5, "dark": -0.7, "dead": -2.9, "collapse": -1.6,
     "failed": -2.0, "catastrophic": -2.2,
 }
+_FULL_LEXICON = {**_vader.LEXICON, **_EXTRA_LEXICON}
 
 SENTIMENT_STRUCT = T.StructType([
     T.StructField("neg", T.DoubleType()),
@@ -46,28 +49,11 @@ try:  # pragma: no cover - environment-dependent
     def polarity_scores(text: str) -> dict:
         return _SIA.polarity_scores(text)
 
-except Exception:  # nltk absent: pinned deterministic scorer
+except Exception:  # nltk absent: the vendored VADER algorithm
     _SIA = None
 
     def polarity_scores(text: str) -> dict:
-        tokens = text.lower().split()
-        if not tokens:
-            return {"neg": 0.0, "neu": 0.0, "pos": 0.0, "compound": 0.0}
-        vals = [_LEXICON.get(t.strip(".,!?;:"), 0.0) for t in tokens]
-        pos_sum = sum(v for v in vals if v > 0)
-        neg_sum = -sum(v for v in vals if v < 0)
-        neu_n = sum(1 for v in vals if v == 0)
-        total = pos_sum + neg_sum + neu_n
-        s = sum(vals)
-        compound = s / math.sqrt(s * s + 15.0)
-        if total == 0:
-            return {"neg": 0.0, "neu": 0.0, "pos": 0.0, "compound": 0.0}
-        return {
-            "neg": round(neg_sum / total, 3),
-            "neu": round(neu_n / total, 3),
-            "pos": round(pos_sum / total, 3),
-            "compound": round(compound, 4),
-        }
+        return _vader.polarity_scores(text, _FULL_LEXICON)
 
 
 @F.pandas_udf(SENTIMENT_STRUCT)
