@@ -309,6 +309,34 @@ def test_quality_scores_bounds(docs):
         assert 0.0 <= r["stopword_ratio"] <= 1.0
 
 
+def test_punct_ratio_translate_equals_regexp(spark):
+    """The translate()-based punct count (quality_struct fast path) must
+    equal the oracle's regexp form length(x)-length(regexp_replace(x,
+    '[^A-Za-z0-9\\s]','')) on adversarial text: every Java \\s member,
+    non-ASCII letters (punct under the ASCII-only class), astral-plane
+    code points, and empty strings."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("ws", " \t\n\x0b\f\r a1  "),
+        ("ascii", "Hi, there! a-b_c (50%) [ok]; 'q' \"z\"..."),
+        ("uni", "café 中文, naïve — résumé!"),
+        ("astral", "\U0001f600 ok \U0001d49e x"),
+        ("empty", ""),
+        ("allpunct", "!!!???"),
+        ("nbsp", "a b c"),  # unicode spaces are NOT Java \s
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = df.select(
+        "doc_id",
+        F.length(F.translate("text", Q._ALNUM_WS, "")).alias("fast"),
+        (F.length("text") - F.length(
+            F.regexp_replace("text", "[^A-Za-z0-9\\s]", ""))).alias("ref"),
+    ).collect()
+    for r in got:
+        assert r["fast"] == r["ref"], r["doc_id"]
+
+
 def test_language_id_deterministic_and_sane(spark):
     rows = [
         ("e", "the cat is on the mat and it is warm for the season"),

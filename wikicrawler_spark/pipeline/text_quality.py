@@ -29,6 +29,17 @@ WORD_PATTERN = "[A-Za-z0-9]+|[^\\sA-Za-z0-9]"
 _FP_P = (1 << 31) - 1
 _FP_B = 1_000_003  # polynomial base (odd prime, fits the mod-31 math)
 
+# the char set the punct-ratio regex [^A-Za-z0-9\s] treats as NON-punct,
+# enumerated so translate() can delete it in one non-regex scan: ASCII
+# alnum plus Java regex \s == [ \t\n\x0B\f\r] exactly. regexp_replace was
+# the measured hot spot of the per-doc funnel (8.9 s/300k docs per
+# evaluation, and quality_struct evaluates it twice — ~60% of the whole
+# quality stage); translate computes the identical count ~30x faster.
+_ALNUM_WS = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789"
+    " \t\n\x0b\f\r"
+)
+
 
 def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), "\\s+"), lambda t: t != F.lit(""))
@@ -73,11 +84,13 @@ def quality_struct(text: Column, toks: Column) -> Column:
     stop_ratio = F.when(n_tok > 0,
                         _profile_hits(toks, LANG_PROFILES["en"])
                         / n_tok).otherwise(F.lit(0.0))
+    # == (length - length(regexp_replace(text, "[^A-Za-z0-9\s]", ""))) /
+    # length: translate deletes the complement set, so what remains IS the
+    # punct chars. Same value, no regex engine (see _ALNUM_WS note); the
+    # DuckDB oracle keeps the regexp_replace form.
     punct_ratio = F.when(
         F.length(text) > 0,
-        (F.length(text)
-         - F.length(F.regexp_replace(text, "[^A-Za-z0-9\\s]", "")))
-        / F.length(text),
+        F.length(F.translate(text, _ALNUM_WS, "")) / F.length(text),
     ).otherwise(F.lit(0.0))
     mean_wlen = F.when(n_tok > 0,
                        F.aggregate(toks, F.lit(0).cast("long"),
