@@ -26,7 +26,8 @@ from . import text_quality as Q
 
 def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
                   lang: str = "en", near_threshold: float = 0.5,
-                  prefix_len: int = 30) -> DataFrame:
+                  prefix_len: int = 30,
+                  materialize: bool = True) -> DataFrame:
     """(doc_id, text) -> curated (doc_id, n_tokens, quality, fingerprint).
 
     Funnel: quality >= min_quality AND detected language == lang, then
@@ -34,12 +35,30 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
     doc_id), then MinHash-LSH near-dup removal at ``near_threshold``
     (drop id_b of every verified pair), then fingerprint the kept docs.
 
-    Tokenizes each doc ONCE: the token array is aliased as an attribute in
-    the first projection and threaded through quality, language-ID, both
+    Tokenizes each doc once PER PLAN SEGMENT: the token array is aliased
+    as an attribute and threaded through quality, language-ID, both
     MinHash shingle passes, and the fingerprint fold (HOF lambdas defeat
     codegen CSE, so without the shared attribute every stage re-split the
     text). Quality + langid are computed in the same projection — no
-    doc_id self-joins in the per-doc stage."""
+    doc_id self-joins in the per-doc stage.
+
+    Two scale rules (both measured, 300k-doc corpus, BENCH/BASELINE.md):
+
+    * The dedup-window shuffle is SLIM: ``__toks`` is dropped before the
+      row_number exchange and re-derived from ``text`` after it — an
+      array<string> the same size as the text doubles every shuffle and
+      serialization the survivor set flows through (67 s -> 13 s for the
+      survivor stage alone).
+    * ``materialize=True`` (default) writes the survivor set to a temp
+      parquet stage and reads it back before the pairwise section. The
+      survivors feed FOUR downstream plan branches (both MinHash shingle
+      passes, the anti-join left side, the fingerprint) and Spark has no
+      cross-branch subplan CSE, so without a boundary the whole per-doc
+      funnel re-executes once per branch (439 s -> ~120 s end-to-end).
+      This is the production shape — a real pipeline stages the filtered
+      corpus as a table between the per-doc and pairwise phases; pass
+      ``materialize=False`` to keep the single fully-declarative plan
+      (results are identical — the DuckDB oracle replays both)."""
     toked = docs.select("doc_id", "text",
                         Q._tokens(F.col("text")).alias("__toks"))
     scored = toked.select(
@@ -50,7 +69,7 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
     base = (
         scored.filter((F.col("__q.quality") >= min_quality)
                       & (F.col("__l.lang_guess") == lang))
-        .select("doc_id", "text", "__toks",
+        .select("doc_id", "text",
                 F.col("__q.n_tokens").alias("n_tokens"),
                 F.col("__q.quality").alias("quality"))
     )
@@ -60,11 +79,25 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
         base.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1).drop("__rn")
     )
+    if materialize:
+        import os
+        import tempfile
+        import uuid
+
+        stage = os.path.join(
+            tempfile.gettempdir(),
+            f"wcs_curate_surv_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+        survivors.write.mode("overwrite").parquet(stage)
+        survivors = docs.sparkSession.read.parquet(stage)
+    # re-derive the token attribute on the post-boundary (or post-window)
+    # segment: same values as the pre-window tokens, one split per doc
+    sv = survivors.select("doc_id", "text", "n_tokens", "quality",
+                          Q._tokens(F.col("text")).alias("__toks"))
     pairs = D.minhash_near_duplicates(
-        survivors.select("doc_id", "text", "__toks"),
+        sv.select("doc_id", "text", "__toks"),
         threshold=near_threshold, tokens_col="__toks")
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = survivors.join(dropped, "doc_id", "left_anti")
+    kept = sv.join(dropped, "doc_id", "left_anti")
     fp = Q.fingerprint(kept.select("doc_id", "__toks"), tokens_col="__toks")
     return (
         kept.select("doc_id", "n_tokens", "quality")
