@@ -237,3 +237,92 @@ def test_memo_and_cscan_equal_python_tokenizer(frags):
     finally:
         H._CSCAN = prev
         H.CONTAINER_MEMO = True
+
+
+@st.composite
+def paragraph_fragment(draw):
+    """Fragments aimed at the C block-assembler's acceptance boundary:
+    every anchor-attr corner the python fast path's substring gates and
+    _parse_attrs semantics create (spaced '=', data-* prefixes, duplicate
+    attrs, empty hrefs, class-token variants), plus shapes that must be
+    REJECTED into the tree path (extra p attrs, nested tags, unclosed
+    anchors, self-closing tails, entities)."""
+    cls = draw(st.sampled_from(
+        ["", ' class="lead"', ' class="navbox"', ' class="a<b"',
+         '  class="x y"', ' id="q"', ' class="lead" id="q"', ' ']))
+    n_parts = draw(st.integers(0, 4))
+    parts = []
+    for _ in range(n_parts):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(st.sampled_from(
+                ["plain", " text ", "\n", "a > b", "x!", ""])))
+        elif kind == 1:
+            attrs = draw(st.sampled_from(
+                ["", " ", ' href="/wiki/X"', ' href="/wiki/X" title="X"',
+                 ' href="http://e/x"', ' href=""', ' href ="/wiki/Y"',
+                 ' data-href="/wiki/Z"', ' class="image" href="/f.png"',
+                 ' class ="image" href="/p.png"', ' data-class="image" href="/i.png"',
+                 ' class="image"', ' href="/w" href="/wiki/D"',
+                 ' class="x image y" href="/m.png"', ' title="class=" href="/wiki/T"']))
+            atext = draw(st.sampled_from(["", "y", "link text", " s "]))
+            parts.append(f"<a{attrs}>{atext}</a>")
+        elif kind == 2:
+            parts.append(draw(st.sampled_from(
+                ["<b>bold</b>", "<a href='/q'>sq</a>", "<a/>", "<ax>y</ax>",
+                 "<a href=\"/wiki/U\">unclosed", "</a>", "<a ><a>n</a></a>"])))
+        else:
+            parts.append(draw(st.sampled_from(["&amp;", "café", "\x1c"])))
+    tail = draw(st.sampled_from(["</p>", "</p >", ""]))
+    return f"<p{cls}>{''.join(parts)}{tail}"
+
+
+@given(frags=st.lists(st.one_of(paragraph_fragment(), fastpath_fragment(),
+                                hostile_fragment()),
+                      min_size=1, max_size=6),
+       opens=st.booleans())
+@settings(max_examples=250, deadline=None)
+def test_c_assembly_equals_python_paths(frags, opens):
+    """The opt-in C block assembler (WCS_CASSEMBLE) must be byte-identical
+    to the python fast path AND the tree path on adversarial paragraph
+    streams, in and out of content scope. Force-loads the lib so the C
+    path stays covered regardless of the env default; skips only when no
+    compiler is available."""
+    import pytest
+
+    from wikicrawler_spark import html_tokenizer as H
+    from wikicrawler_spark import kernel
+
+    lib = kernel._CASM or H._load_cscan()
+    if lib is None:
+        pytest.skip("no C toolchain in this environment")
+    if not hasattr(kernel, "_ct"):
+        import ctypes
+
+        kernel._ct = ctypes
+
+    spans = []
+    off = 0
+    if opens:
+        spans.append({"kind": "html", "media_ref": None, "offset": 0,
+                      "text": '<div id="mw-content-text">'
+                              '<div class="mw-parser-output">'})
+        off = 1
+    for i, f in enumerate(frags):
+        spans.append({"kind": "html", "text": f, "media_ref": None,
+                      "offset": off + i})
+
+    prev = kernel._CASM
+    try:
+        kernel._CASM = lib
+        kernel.FAST_PARAGRAPH_PATH = True
+        casm = extract_doc("wiki/adv", spans)
+        kernel._CASM = None
+        fast = extract_doc("wiki/adv", spans)
+        kernel.FAST_PARAGRAPH_PATH = False
+        tree = extract_doc("wiki/adv", spans)
+    finally:
+        kernel._CASM = prev
+        kernel.FAST_PARAGRAPH_PATH = True
+    assert casm == fast
+    assert fast == tree

@@ -212,6 +212,21 @@ def _load_cscan():
         ne = lib.scan(probe, len(probe), buf)
         if ne != 3 or buf[0] != 1 or buf[10] != 2:
             return None
+        # block-assembly entry point (round-4 spike): probe a paragraph
+        # with one wiki anchor — text 'ty', 1 anchor, link_len 1
+        lib.scan_p.restype = ctypes.c_int32
+        lib.scan_p.argtypes = [ctypes.c_char_p, ctypes.c_int32,
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_int32),
+                               ctypes.c_char_p]
+        pp = b"<p>t<a href=\"/wiki/Y\">y</a></p>"
+        hdr = (ctypes.c_int32 * 8)()
+        ar = (ctypes.c_int32 * 16)()
+        out = ctypes.create_string_buffer(len(pp))
+        ok = lib.scan_p(pp, len(pp), hdr, ar, out)
+        if (ok != 1 or hdr[1] != 2 or hdr[2] != 1 or hdr[3] != 1
+                or out.raw[:2] != b"ty" or ar[4] != 2):
+            return None
         return lib
     except Exception:  # noqa: BLE001 — no compiler/sandbox => Python path
         return None

@@ -75,7 +75,11 @@ WIKI_BASE = "https://en.wikipedia.org"
 # guarantees byte-identical output to the tree path; anything else falls
 # back. Toggle for the equivalence property test.
 FAST_PARAGRAPH_PATH = True
-_FAST_P = re.compile(r'<p(?:\s+class="([^"]*)")?>(.*)</p>\Z', re.S)
+# class value excludes <> : the tree tokenizer splits fragments on '<'
+# and bounds tags at the first '>', so a quoted value carrying either
+# char parses as malformed markup there — the fast path must reject it
+# the same way (r4 property-test find)
+_FAST_P = re.compile(r'<p(?:\s+class="([^"<>]*)")?>(.*)</p>\Z', re.S)
 _FAST_P_CONTENT = re.compile(r'(?:[^<]|<a(?:\s[^<>]*)?>[^<]*</a>)*\Z', re.S)
 _FAST_A = re.compile(r"<a(\s[^<>]*)?>([^<]*)</a>", re.S)
 # Sibling fast paths (same toggle, same byte-identical-or-fall-back rule):
@@ -89,6 +93,70 @@ _FAST_ANCHOR = re.compile(r"<a(\s[^<>]*)?>([^<&]*)</a>\Z")
 # any hit falls back to the tree parser
 _ANCHOR_SLOW_CLASSES = frozenset(
     {"references", "div-col", "mw-search-results", "navbox"})
+
+# Round-4 spike (VERDICT r3 #7): C block assembly for the fast-paragraph
+# shape — grammar validation, text assembly, and anchor extraction in ONE
+# native pass over the fragment bytes, skipping regex matching, piece
+# lists, and attr dicts. Opt-in (WCS_CASSEMBLE=1) like the C scan loop;
+# BENCH/BASELINE.md records the measured single-core and local[32] A/B.
+# C-accepted fragments produce byte-identical output to the python fast
+# path (equivalence property test); C-rejected fragments fall through to
+# the unchanged python dispatch.
+_CASM = None
+if os.environ.get("WCS_CASSEMBLE") == "1":
+    from .html_tokenizer import _load_cscan as _casm_loader
+
+    _CASM = _casm_loader()
+if _CASM is not None:
+    import ctypes as _ct
+_CASM_BUFS = None  # (hdr, anchor_recs, out_text, cap) — grow-only; one
+#                    python worker thread per process (see _EV_BUF)
+
+
+def _casm_paragraph(frag: str, in_scope: bool, body: list,
+                    latex: bool) -> bool:
+    """Dispatch one ascii, entity-free <p>...</p> fragment through the C
+    assembler. Returns False (untouched state) when the fragment is not
+    fast-shaped; True after appending exactly what the python
+    ``fast_paragraph`` closure would append."""
+    global _CASM_BUFS
+    raw = frag.encode()
+    n = len(raw)
+    if _CASM_BUFS is None or _CASM_BUFS[3] < n:
+        cap = max(n, 4096)
+        _CASM_BUFS = ((_ct.c_int32 * 8)(),
+                      (_ct.c_int32 * (5 * (cap // 7 + 2)))(),
+                      _ct.create_string_buffer(cap), cap)
+    hdr, ar, out, _cap = _CASM_BUFS
+    if not _CASM.scan_p(raw, n, hdr, ar, out):
+        return False
+    tl, na, ll = hdr[1], hdr[2], hdr[3]
+    for k in range(na):
+        f = ar[k * 5 + 4]
+        # flags: 1 = image-class token, 2 = href^="/wiki" (implies href)
+        if f & 1:
+            h0 = ar[k * 5 + 2]
+            if h0 >= 0:
+                href = frag[h0:ar[k * 5 + 3]]
+                atext = frag[ar[k * 5]:ar[k * 5 + 1]]
+                body.append(("media", atext if atext else None,
+                             WIKI_BASE + "/" + href.lstrip("/")))
+    if not in_scope:
+        return True
+    is_nav = hdr[4] == 1
+    boiler = is_nav or (tl > 0 and ll / tl > LINK_DENSITY_MAX)
+    if not boiler and tl:
+        text = _ct.string_at(out, tl).decode()
+        if text != "\n":
+            body.append(("paragraph",
+                         latex_to_text(text) if latex else text, None))
+    if not is_nav:
+        for k in range(na):
+            if ar[k * 5 + 4] & 2:
+                body.append(("link", frag[ar[k * 5]:ar[k * 5 + 1]],
+                             WIKI_BASE + frag[ar[k * 5 + 2]:ar[k * 5 + 3]]))
+    return True
+
 
 # Link-density threshold for the explicit boilerplate classifier (E14).
 # A <p> whose anchor text makes up more than this fraction of its total
@@ -288,15 +356,17 @@ def _extract_core(doc_id: str, ordered: Iterable, latex: bool = False) -> list[t
         text = "".join(pieces)
 
         # media anchors are collected whether or not the block is in scope
-        # (reference scans the whole page, grabber.py:320)
+        # (reference scans the whole page, grabber.py:320). Parse attrs
+        # unconditionally (memoized): the earlier substring pre-gate
+        # ('class="' in rawattrs) missed spaced '=' forms the tree path's
+        # _parse_attrs accepts — found by the r4 C-assembly property test.
         for rawattrs, atext in p_anchors:
-            if 'class="' in rawattrs:
-                attrs = _parse_attrs(rawattrs)
-                if "image" in attrs.get("class", "").split():
-                    href = attrs.get("href")
-                    if href is not None:
-                        body.append(("media", atext if atext else None,
-                                     WIKI_BASE + "/" + href.lstrip("/")))
+            attrs = _parse_attrs(rawattrs)
+            if "image" in attrs.get("class", "").split():
+                href = attrs.get("href")
+                if href is not None:
+                    body.append(("media", atext if atext else None,
+                                 WIKI_BASE + "/" + href.lstrip("/")))
         if not in_scope:
             return True
         is_nav = "navbox" in classes
@@ -306,10 +376,9 @@ def _extract_core(doc_id: str, ordered: Iterable, latex: bool = False) -> list[t
             body.append(("paragraph", latex_to_text(text) if latex else text, None))
         if not is_nav:
             for rawattrs, atext in p_anchors:
-                if 'href="' in rawattrs:
-                    href = _parse_attrs(rawattrs).get("href")
-                    if href is not None and href.startswith("/wiki"):
-                        body.append(("link", atext, WIKI_BASE + href))
+                href = _parse_attrs(rawattrs).get("href")
+                if href is not None and href.startswith("/wiki"):
+                    body.append(("link", atext, WIKI_BASE + href))
         return True
 
     def fast_heading(frag: str) -> bool:
@@ -368,9 +437,14 @@ def _extract_core(doc_id: str, ordered: Iterable, latex: bool = False) -> list[t
         if kind == "html":
             if text:
                 if FAST_PARAGRAPH_PATH and "&" not in text:
-                    if (text.startswith("<p") and text.endswith("</p>")
-                            and fast_paragraph(text)):
-                        continue
+                    if text.startswith("<p") and text.endswith("</p>"):
+                        if (_CASM is not None and text.isascii()
+                                and _casm_paragraph(
+                                    text, parser.in_content_scope,
+                                    body, latex)):
+                            continue
+                        if fast_paragraph(text):
+                            continue
                     if text.startswith("<h") and fast_heading(text):
                         continue
                     if text.startswith("<a") and fast_anchor(text):
