@@ -52,6 +52,7 @@ HEADLINE = [
     "embedding_near_dups_lsh",
     "ivf_ann_recall",
     "pdf_layout_spans",
+    "media_decode",            # multimodal decode plane (mapInPandas, r4)
     "token_counts",
     "quality_scores",
     "language_id",

@@ -379,6 +379,35 @@ def test_multimodal_decode_plumbing(spark):
     assert sorted(map(str, decoded)) == sorted(map(str, again))
 
 
+def test_synth_assets_native_payloads_match_hashlib(spark):
+    """The md5-chain asset builders (the oracle-replayable payload path)
+    construct payload bytes NATIVELY (md5+unhex+concat, no UDF); pin them
+    against hashlib so the Spark expression and the DuckDB oracle derive
+    from one independently-verified byte definition."""
+    import hashlib
+
+    docs = spark.createDataFrame([("7",), ("42",)], "doc_id string")
+
+    def chain(ref: str, blocks: int) -> bytes:
+        return bytes.fromhex("".join(
+            hashlib.md5(f"{ref}:{i}".encode()).hexdigest()
+            for i in range(blocks)))
+
+    img = {r["doc_id"]: bytes(r["payload"])
+           for r in M.synth_image_assets(docs).collect()}
+    assert img["42"] == b"FAKEIMG:8,6:" + chain("img://42", 3)
+    vid = {r["doc_id"]: bytes(r["payload"])
+           for r in M.synth_video_assets(docs, n_frames=4).collect()}
+    assert vid["7"] == b"FAKEVID:4,8,6:" + chain("vid://7", 12)
+    aud = {r["doc_id"]: bytes(r["payload"])
+           for r in M.synth_audio_assets(docs).collect()}
+    assert aud["7"] == b"FAKEAUD:16000:" + chain("aud://7", 8)
+    # and the payloads parse through the shared fake codec
+    feat = M.decode_and_featurize(M.synth_image_assets(docs),
+                                  use_fake_codec=True).collect()
+    assert len(feat) == 2 and all(r["width"] == 8 for r in feat)
+
+
 @pytest.mark.skipif(M.HAS_PIL, reason="PIL present: real codec active")
 def test_multimodal_real_codec_is_marked_stub_without_pil(spark):
     from wikicrawler_spark import corpus

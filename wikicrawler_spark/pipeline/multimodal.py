@@ -59,6 +59,71 @@ def _decode_fake(payload: bytes):
     return w, h, arr.reshape(h, w)
 
 
+#: synthetic-asset geometry shared by the md5-chain builders below and
+#: their DuckDB oracle replays (queries.py): 8x6 = 48 px = 3 md5 blocks.
+SYNTH_W, SYNTH_H = 8, 6
+SYNTH_AUDIO_SAMPLES, SYNTH_AUDIO_RATE = 64, 16_000
+
+
+def _md5_chain_hex(ref, n_blocks: int):
+    """Hex chain md5(ref:0)||md5(ref:1)||... as a native Column — the
+    engine-replayable payload generator (DuckDB computes the identical
+    chain, so decoded features can be oracled end-to-end, unlike the
+    MT19937-seeded ``make_fake_*`` helpers which are test-only)."""
+    return F.concat(*[F.md5(F.concat(ref, F.lit(f":{i}")))
+                      for i in range(n_blocks)])
+
+
+def synth_image_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FAKEIMG assets, one per input row, built NATIVELY
+    (md5 + unhex + concat — no UDF): payload pixels are the md5 chain of
+    the media_ref, 8x6 px. The decode side (``decode_and_featurize``) is
+    the same mapInPandas path real image bytes would take."""
+    ref = F.concat(F.lit("img://"), F.col(id_col).cast("string"))
+    px = F.unhex(_md5_chain_hex(ref, (SYNTH_W * SYNTH_H) // 16))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ref.alias("media_ref"),
+        F.lit("image").alias("media_kind"),
+        F.concat(F.lit(b"FAKEIMG:%d,%d:" % (SYNTH_W, SYNTH_H)), px)
+        .alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("fake")).alias("meta"),
+    )
+
+
+def synth_video_assets(docs: DataFrame, id_col: str = "doc_id",
+                       n_frames: int = 4) -> DataFrame:
+    """Deterministic FAKEVID assets (``n_frames`` 8x6 frames, contiguous
+    md5-chain bytes) — native construction, same rationale as
+    :func:`synth_image_assets`; feeds ``sample_frames``."""
+    ref = F.concat(F.lit("vid://"), F.col(id_col).cast("string"))
+    px = F.unhex(_md5_chain_hex(ref, n_frames * (SYNTH_W * SYNTH_H) // 16))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ref.alias("media_ref"),
+        F.lit("video").alias("media_kind"),
+        F.concat(F.lit(b"FAKEVID:%d,%d,%d:" % (n_frames, SYNTH_W, SYNTH_H)),
+                 px).alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("fake")).alias("meta"),
+    )
+
+
+def synth_audio_assets(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic FAKEAUD assets (64 int16-LE PCM samples = 128
+    md5-chain bytes at 16 kHz) — native construction; feeds
+    ``audio_features``."""
+    ref = F.concat(F.lit("aud://"), F.col(id_col).cast("string"))
+    raw = F.unhex(_md5_chain_hex(ref, SYNTH_AUDIO_SAMPLES * 2 // 16))
+    return docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        ref.alias("media_ref"),
+        F.lit("audio").alias("media_kind"),
+        F.concat(F.lit(b"FAKEAUD:%d:" % SYNTH_AUDIO_RATE), raw)
+        .alias("payload"),
+        F.create_map(F.lit("codec"), F.lit("fake")).alias("meta"),
+    )
+
+
 def make_fake_image(doc_id: str, media_ref: str, w: int = 8, h: int = 6) -> bytes:
     """Deterministic pixels from the ref string (test corpus helper)."""
     seed = int.from_bytes(media_ref.encode()[-8:].rjust(8, b"\0"), "big") % (2**32)

@@ -27,6 +27,7 @@ from .pipeline import dedup as D
 from .graph import connected_components, pagerank, pagerank_oracle_sql
 from .pipeline import bm25 as B
 from .pipeline import mixing as M
+from .pipeline import multimodal as MM
 from .pipeline import layout as L
 from .pipeline import simsearch as S
 from .pipeline import text_quality as Q
@@ -1476,6 +1477,154 @@ FROM scored WHERE NOT is_boiler
 """
 
 
+# -------------------------------------------------------------- multimodal
+#
+# The decode plane (pipeline.multimodal) driven end-to-end with payloads
+# built NATIVELY from md5 chains (synth_*_assets), so DuckDB can replay
+# byte generation AND decode math in SQL — upgrading the multimodal
+# mandate surface from pytest-only to driver-oracled evidence. The
+# mapInPandas decode path exercised here is byte-for-byte the one real
+# codec bytes would take (only the payload parser differs; reference
+# media handling is download-only side files, grabber.py:231-260).
+
+_MM_HEX = "0123456789abcdef"
+
+
+def _sql_md5_chain(ref_sql: str, n_blocks: int) -> str:
+    return " || ".join(f"md5({ref_sql} || ':{i}')" for i in range(n_blocks))
+
+
+def _sql_bytes(hx: str, n: int, base: str = "0") -> str:
+    """DuckDB list of ``n`` byte values parsed from hex column ``hx``
+    starting at byte offset ``base`` (an SQL expression)."""
+    p = f"(2*(({base}) + i))::INT"
+    return (f"list_transform(range({n}), i -> "
+            f"16*(strpos('{_MM_HEX}', substr({hx}, {p} + 1, 1)) - 1) "
+            f"+ (strpos('{_MM_HEX}', substr({hx}, {p} + 2, 1)) - 1))")
+
+
+def q_media_decode(spark, sf_dir):
+    """Image decode + featurize over natively-synthesized FAKEIMG assets:
+    md5-chain pixels -> the SAME Arrow-batched mapInPandas decode path
+    real image bytes take -> 16-bin histogram features, flattened to
+    driver-safe scalar columns (the registry's array-flatten pattern,
+    cf. minhash_signatures)."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    dec = MM.decode_and_featurize(MM.synth_image_assets(docs),
+                                  use_fake_codec=True)
+    return dec.select(
+        "doc_id", "media_ref", "width", "height", "mean_px",
+        *[F.col("feature")[i].cast("double").alias(f"f{i}")
+          for i in range(16)],
+    )
+
+
+def _oracle_media_decode() -> str:
+    w, h = 8, 6
+    n = w * h
+    # ::FLOAT::DOUBLE replicates the kernel's float32 feature dtype
+    # exactly (0.041666668, not 0.0416...667) — raw-value equality, no
+    # rounding forgiveness needed
+    feats = ",\n       ".join(
+        f"((len(list_filter(b, x -> x // 16 = {k}))::DOUBLE / {n})"
+        f"::FLOAT::DOUBLE) AS f{k}"
+        for k in range(16))
+    return f"""
+WITH r AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         'img://' || doc_id::VARCHAR AS media_ref
+  FROM documents
+),
+hx AS (SELECT doc_id, media_ref,
+              {_sql_md5_chain('media_ref', n // 16)} AS hx FROM r),
+px AS (SELECT doc_id, media_ref, {_sql_bytes('hx', n)} AS b FROM hx)
+SELECT doc_id, media_ref, {w}::INT AS width, {h}::INT AS height,
+       list_sum(b)::DOUBLE / {n} AS mean_px,
+       {feats}
+FROM px
+"""
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling composed with image decode: 4-frame FAKEVID
+    payloads (contiguous md5-chain frames), sample_frames(every=2) keeps
+    frames 0 and 2, each re-emitted as a FAKEIMG payload and decoded by
+    the same path as q_media_decode. Frame identity rides the media_ref
+    ('vid://<id>#<frame>') so the decode stage needs no schema change."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    frames = MM.sample_frames(MM.synth_video_assets(docs, n_frames=4),
+                              every=2, use_fake_codec=True)
+    tagged = frames.select(
+        "doc_id",
+        F.concat("media_ref", F.lit("#"),
+                 F.col("frame_idx").cast("string")).alias("media_ref"),
+        "payload",
+    )
+    dec = MM.decode_and_featurize(tagged, use_fake_codec=True)
+    return dec.select("doc_id", "media_ref", "width", "height", "mean_px")
+
+
+def _oracle_media_frames() -> str:
+    w, h = 8, 6
+    n = w * h
+    return f"""
+WITH r AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         'vid://' || doc_id::VARCHAR AS ref
+  FROM documents
+),
+hx AS (SELECT doc_id, ref, {_sql_md5_chain('ref', 4 * n // 16)} AS hx FROM r),
+fr AS (SELECT doc_id, ref, hx, unnest([0, 2]) AS fi FROM hx),
+px AS (SELECT doc_id, ref || '#' || fi::VARCHAR AS media_ref,
+              {_sql_bytes('hx', n, base=f'fi * {n}')} AS b
+       FROM fr)
+SELECT doc_id, media_ref, {w}::INT AS width, {h}::INT AS height,
+       list_sum(b)::DOUBLE / {n} AS mean_px
+FROM px
+"""
+
+
+def q_media_audio(spark, sf_dir):
+    """Audio decode + features over natively-synthesized FAKEAUD assets
+    (64 int16-LE PCM samples from the md5 chain): per-clip duration, RMS
+    level, zero-crossing rate — the audio member of the decode plane,
+    mapInPandas with per-batch numpy."""
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"))
+    return MM.audio_features(MM.synth_audio_assets(docs),
+                             use_fake_codec=True)
+
+
+def _oracle_media_audio() -> str:
+    ns, sr = 64, 16_000
+    # int16-LE: sample j = b[2j] + 256*b[2j+1], two's-complement signed
+    v = "(by[(2*j)::INT + 1] + 256 * by[(2*j)::INT + 2])"
+    return f"""
+WITH r AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         'aud://' || doc_id::VARCHAR AS media_ref
+  FROM documents
+),
+hx AS (SELECT doc_id, media_ref,
+              {_sql_md5_chain('media_ref', ns * 2 // 16)} AS hx FROM r),
+b AS (SELECT doc_id, media_ref, {_sql_bytes('hx', ns * 2)} AS by FROM hx),
+s AS (SELECT doc_id, media_ref,
+             list_transform(range({ns}), j ->
+               CASE WHEN {v} >= 32768 THEN {v} - 65536 ELSE {v} END) AS pcm
+      FROM b)
+SELECT doc_id, media_ref, {sr}::INT AS sample_rate,
+       {ns}::DOUBLE / {sr} AS duration_s,
+       round(sqrt(list_sum(list_transform(pcm, x -> x * x))::DOUBLE / {ns}),
+             6) AS rms,
+       round(len(list_filter(range({ns - 1}), i ->
+                 (pcm[(i+1)::INT] < 0) <> (pcm[(i+2)::INT] < 0)))::DOUBLE
+             / {ns}, 6) AS zero_cross_rate
+FROM s
+"""
+
+
 # ------------------------------------------------------------- text quality
 
 def q_token_counts(spark, sf_dir):
@@ -2165,7 +2314,6 @@ def queries() -> dict:
         "extract_link_counts": q_extract_link_counts,
         "search_direct": q_search_direct,
         # -- r3-green, kept in-window to fill to 50 --
-        "dedup_exact_prefix": q_dedup_exact_prefix,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2179,11 +2327,18 @@ def queries() -> dict:
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "pdf_layout_spans": q_pdf_layout_spans,
+        # -- new in round 4: multimodal decode plane, driver-oracled --
+        "media_decode": q_media_decode,
+        "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
+        # ---- 50-entry gate window ends here ----
+        # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
+        #    untouched in round 4 (enforced by the dep-fingerprint guard
+        #    test; tpch_q1/pagerank_orders/dedup_exact_prefix rotated out
+        #    to make window room for the three media queries) --
         "tpch_q1": q_tpch_q1,
         "pagerank_orders": q_pagerank,
-        # ---- 50-entry gate window ends here ----
-        # -- tail: green in the r3 driver run, transitive deps untouched
-        #    in round 4 (enforced by the dep-fingerprint guard test) --
+        "dedup_exact_prefix": q_dedup_exact_prefix,
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
@@ -2238,6 +2393,9 @@ def oracle_sql() -> dict:
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
         "embedding_near_dups_recall": _oracle_emb_recall(),
         "pdf_layout_spans": ORACLE_PDF_LAYOUT,
+        "media_decode": _oracle_media_decode(),
+        "media_frames": _oracle_media_frames(),
+        "media_audio": _oracle_media_audio(),
         "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
                                                iterations=6, damping=0.85),
         "sketch_accuracy": ORACLE_SKETCH,
