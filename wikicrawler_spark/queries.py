@@ -2008,6 +2008,63 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP over (status, priority) with grouping_id — the hierarchical
+    sibling of q_cube_lineitem's CUBE (distinct grouping-set surface:
+    rollup emits only prefix subtotals). Aggregates rounded so the
+    cross-engine hash is summation-order-proof."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.grouping_id().alias("gid"),
+             F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+ORACLE_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       grouping_id(o_orderstatus, o_orderpriority) AS gid,
+       count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_events_user_deltas(spark, sf_dir):
+    """Window-function surface over the event stream: per-user ordered
+    row_number, lag delta, running sum, and share-of-user-total — the
+    four window flavors (ranking / offset / cumulative frame / whole-
+    partition aggregate) in one deterministic plan. ONE shuffle on
+    user_id serves every window (same partition key); floats rounded so
+    segment-tree vs left-to-right summation order can't flip the hash."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy("user_id")
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id",
+        F.row_number().over(w).alias("seq"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.sum("value").over(cum), 6).alias("running"),
+        F.round(F.col("value") / F.sum("value").over(tot), 6).alias("share"),
+    )
+
+
+ORACLE_EVENTS_DELTAS = """
+SELECT event_id, user_id,
+       row_number() OVER w AS seq,
+       round(value - lag(value) OVER w, 6) AS delta,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING), 6) AS running,
+       round(value / sum(value) OVER (PARTITION BY user_id), 6) AS share
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def q_pivot_linestatus(spark, sf_dir):
     """Pivot l_linestatus into columns (conditional aggregation)."""
     li = load(spark, sf_dir, "lineitem")
@@ -2313,9 +2370,10 @@ def queries() -> dict:
         "extract_paragraphs": q_extract_paragraphs,
         "extract_link_counts": q_extract_link_counts,
         "search_direct": q_search_direct,
+        # -- new in round 4: grouping-set + window-function breadth --
+        "rollup_orders": q_rollup_orders,
+        "events_user_deltas": q_events_user_deltas,
         # -- r3-green, kept in-window to fill to 50 --
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
@@ -2339,6 +2397,8 @@ def queries() -> dict:
         "tpch_q1": q_tpch_q1,
         "pagerank_orders": q_pagerank,
         "dedup_exact_prefix": q_dedup_exact_prefix,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
@@ -2396,6 +2456,8 @@ def oracle_sql() -> dict:
         "media_decode": _oracle_media_decode(),
         "media_frames": _oracle_media_frames(),
         "media_audio": _oracle_media_audio(),
+        "rollup_orders": ORACLE_ROLLUP_ORDERS,
+        "events_user_deltas": ORACLE_EVENTS_DELTAS,
         "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
                                                iterations=6, damping=0.85),
         "sketch_accuracy": ORACLE_SKETCH,
