@@ -241,7 +241,9 @@ def make_fake_audio(doc_id: str, media_ref: str, n_samples: int = 4800,
     """Deterministic int16 PCM from the ref string (test corpus helper)."""
     seed = int.from_bytes(media_ref.encode()[-8:].rjust(8, b"\0"), "big") % (2**32)
     rng = np.random.RandomState(seed)
-    pcm = (rng.standard_normal(n_samples) * 3000).astype(np.int16)
+    # "<i2" (explicit little-endian) pins the documented int16-LE format
+    # on any host endianness (review r4)
+    pcm = (rng.standard_normal(n_samples) * 3000).astype("<i2")
     return b"FAKEAUD:%d:" % sample_rate + pcm.tobytes()
 
 
@@ -275,7 +277,10 @@ def audio_features(assets: DataFrame, *, use_fake_codec: bool = False) -> DataFr
                     )
                 head, raw = b.split(b":", 2)[1:]
                 sr = int(head)
-                pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float64)
+                # explicit LE dtype: the format is int16-LE by contract
+                # (and the media_audio oracle reassembles LE bytes), so
+                # native-endian parse would break on big-endian hosts
+                pcm = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                 n = len(pcm)
                 if n == 0:
                     continue

@@ -93,6 +93,76 @@ def wrapped_docs(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def wrapped_disambig_docs(spark, sf_dir: str) -> DataFrame:
+    """documents -> deterministic disambiguation pages: bare in-scope
+    anchors in an unclassified div (the disambig-link shape,
+    seeker.py:40-45) plus a catlinks category whose title contains
+    'Disambiguation' — the kernel's E10 gate. Native expressions only."""
+    d = load(spark, sf_dir, "documents")
+
+    def span(text, off):
+        return F.struct(
+            F.lit("html").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    sid = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(F.lit("wiki/dab_"), sid).alias("doc_id"),
+        F.array(
+            span(F.concat(F.lit('<h1 id="firstHeading">Dab '), sid,
+                          F.lit("</h1>")), 0),
+            span(F.lit('<div id="mw-content-text">'
+                       '<div class="mw-parser-output">'), 1),
+            span(F.concat(
+                F.lit('<div><a href="/wiki/Opt_'), F.col("source"),
+                F.lit('" title="Opt '), F.col("source"),
+                F.lit('">1</a><a href="/wiki/Opt_'), F.col("lang"),
+                F.lit('" title="Opt '), F.col("lang"),
+                F.lit('">2</a></div>')), 2),
+            span(F.lit("</div></div>"), 3),
+            span(F.lit('<div id="catlinks" class="catlinks">'
+                       '<a href="/wiki/Category:Disambiguation_pages" '
+                       'title="Category:Disambiguation pages">d</a></div>'),
+                 4),
+        ).alias("spans"),
+    )
+
+
+def wrapped_search_docs(spark, sf_dir: str) -> DataFrame:
+    """documents -> deterministic search-result pages: a
+    'mw-search-results' container whose /wiki anchors the kernel emits as
+    link spans unconditionally (E12, seeker.py:60-68)."""
+    d = load(spark, sf_dir, "documents")
+
+    def span(text, off):
+        return F.struct(
+            F.lit("html").alias("kind"), text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(off).cast("int").alias("offset"),
+        )
+
+    sid = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(F.lit("wiki/search_"), sid).alias("doc_id"),
+        F.array(
+            span(F.concat(F.lit('<h1 id="firstHeading">Search '), sid,
+                          F.lit("</h1>")), 0),
+            span(F.lit('<div id="mw-content-text">'
+                       '<div class="mw-parser-output">'), 1),
+            span(F.concat(
+                F.lit('<div class="mw-search-results">'
+                      '<a href="/wiki/Hit_'), F.col("source"),
+                F.lit('" title="Hit '), F.col("source"),
+                F.lit('">r</a><a href="/wiki/Hit_'), F.col("lang"),
+                F.lit('" title="Hit '), F.col("lang"),
+                F.lit('">r</a></div>')), 2),
+            span(F.lit("</div></div>"), 3),
+        ).alias("spans"),
+    )
+
+
 def _flat(spans_df: DataFrame) -> DataFrame:
     return spans_df.select("doc_id", F.inline("spans"))
 
@@ -255,6 +325,52 @@ ORACLE_CATEGORIES = """
 SELECT 'wiki/doc_' || doc_id AS doc_id,
        'Category:' || lang AS cat_title,
        '/wiki/Category:' || lang AS cat_href
+FROM documents
+"""
+
+
+def q_extract_disambig_links(spark, sf_dir):
+    """E10+E11 driver evidence: the disambiguation gate (category-title
+    substring, seeker.py:98-99) fires on deterministic dab pages and the
+    bare in-scope anchors emit as ordered link spans with raw relative
+    hrefs (seeker.py:40-45). Offsets included — span ORDER is the
+    north-rule invariant."""
+    return (
+        _flat(extract_spans(wrapped_disambig_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "link")
+        .select("doc_id", F.col("text").alias("link_title"),
+                F.col("media_ref").alias("href"), "offset")
+    )
+
+
+ORACLE_DISAMBIG_LINKS = """
+SELECT 'wiki/dab_' || doc_id AS doc_id, 'Opt ' || source AS link_title,
+       '/wiki/Opt_' || source AS href, 1::INT AS offset
+FROM documents
+UNION ALL
+SELECT 'wiki/dab_' || doc_id, 'Opt ' || lang, '/wiki/Opt_' || lang, 2::INT
+FROM documents
+"""
+
+
+def q_extract_search_links(spark, sf_dir):
+    """E12 driver evidence: 'mw-search-results' container anchors emit as
+    link spans unconditionally (no disambiguation gate), in document
+    order (seeker.py:60-68)."""
+    return (
+        _flat(extract_spans(wrapped_search_docs(spark, sf_dir)))
+        .filter(F.col("kind") == "link")
+        .select("doc_id", F.col("text").alias("link_title"),
+                F.col("media_ref").alias("href"), "offset")
+    )
+
+
+ORACLE_SEARCH_LINKS = """
+SELECT 'wiki/search_' || doc_id AS doc_id, 'Hit ' || source AS link_title,
+       '/wiki/Hit_' || source AS href, 1::INT AS offset
+FROM documents
+UNION ALL
+SELECT 'wiki/search_' || doc_id, 'Hit ' || lang, '/wiki/Hit_' || lang, 2::INT
 FROM documents
 """
 
@@ -1521,7 +1637,7 @@ def q_media_decode(spark, sf_dir):
 
 
 def _oracle_media_decode() -> str:
-    w, h = 8, 6
+    w, h = MM.SYNTH_W, MM.SYNTH_H
     n = w * h
     # ::FLOAT::DOUBLE replicates the kernel's float32 feature dtype
     # exactly (0.041666668, not 0.0416...667) — raw-value equality, no
@@ -1567,7 +1683,7 @@ def q_media_frames(spark, sf_dir):
 
 
 def _oracle_media_frames() -> str:
-    w, h = 8, 6
+    w, h = MM.SYNTH_W, MM.SYNTH_H
     n = w * h
     return f"""
 WITH r AS (
@@ -1598,7 +1714,7 @@ def q_media_audio(spark, sf_dir):
 
 
 def _oracle_media_audio() -> str:
-    ns, sr = 64, 16_000
+    ns, sr = MM.SYNTH_AUDIO_SAMPLES, MM.SYNTH_AUDIO_RATE
     # int16-LE: sample j = b[2j] + 256*b[2j+1], two's-complement signed
     v = "(by[(2*j)::INT + 1] + 256 * by[(2*j)::INT + 2])"
     return f"""
@@ -2370,13 +2486,14 @@ def queries() -> dict:
         "extract_paragraphs": q_extract_paragraphs,
         "extract_link_counts": q_extract_link_counts,
         "search_direct": q_search_direct,
-        # -- new in round 4: grouping-set + window-function breadth --
+        # -- new in round 4: grouping-set + window-function breadth,
+        #    disambiguation/search-result kernel rules (E10-E12) --
         "rollup_orders": q_rollup_orders,
         "events_user_deltas": q_events_user_deltas,
+        "extract_disambig_links": q_extract_disambig_links,
+        "extract_search_links": q_extract_search_links,
         # -- r3-green, kept in-window to fill to 50 --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
@@ -2392,13 +2509,18 @@ def queries() -> dict:
         # ---- 50-entry gate window ends here ----
         # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
         #    untouched in round 4 (enforced by the dep-fingerprint guard
-        #    test; tpch_q1/pagerank_orders/dedup_exact_prefix rotated out
-        #    to make window room for the three media queries) --
+        #    test; tpch_q1/pagerank_orders/dedup_exact_prefix/
+        #    ngram_jaccard/minhash_signatures/simhash/simhash_near_dups
+        #    rotated out to make window room for the seven new r4
+        #    queries: three media + rollup + window-deltas + the two
+        #    disambig/search link extractions) --
         "tpch_q1": q_tpch_q1,
         "pagerank_orders": q_pagerank,
         "dedup_exact_prefix": q_dedup_exact_prefix,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
@@ -2458,6 +2580,8 @@ def oracle_sql() -> dict:
         "media_audio": _oracle_media_audio(),
         "rollup_orders": ORACLE_ROLLUP_ORDERS,
         "events_user_deltas": ORACLE_EVENTS_DELTAS,
+        "extract_disambig_links": ORACLE_DISAMBIG_LINKS,
+        "extract_search_links": ORACLE_SEARCH_LINKS,
         "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
                                                iterations=6, damping=0.85),
         "sketch_accuracy": ORACLE_SKETCH,
