@@ -1593,6 +1593,102 @@ FROM scored WHERE NOT is_boiler
 """
 
 
+# ---------------------------------------------------- autosearch (T4) chain
+
+def q_autosearch_chain(spark, sf_dir):
+    """T4 driver evidence: the 3-hop REPL similarity chain
+    (traversal.autosearch, oracle.py:37-87) over a native spans table
+    (title + one paragraph per document). Per hop: word-freq argmax ->
+    most-JW-similar top-15 bigram collocation -> next doc by JW title
+    similarity, visited excluded. The per-hop collects are single rows
+    by design (REPL semantics); the oracle unrolls the whole chain as
+    scalar CTEs over the same freq/LLR/JW fragments the word_freq/
+    bigram/most_similar oracles use."""
+    from .traversal import autosearch
+
+    d = load(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+
+    def span(kind, text, off):
+        return F.struct(F.lit(kind).alias("kind"), text.alias("text"),
+                        F.lit(None).cast("string").alias("media_ref"),
+                        F.lit(off).cast("int").alias("offset"))
+
+    spans_df = d.select(
+        F.concat(F.lit("doc_"), sid).alias("doc_id"),
+        F.array(
+            span("title", F.concat(F.lit("Doc "), sid), 0),
+            span("paragraph", F.col("text"), 1),
+        ).alias("spans"),
+    )
+    res = autosearch(spark, spans_df, "doc_0", n=3, move="colloc")
+    rows = [(i, h.doc_id, h.top_word, h.best_colloc)
+            for i, h in enumerate(res.hops)]
+    return spark.createDataFrame(
+        rows, "hop int, doc_id string, top_word string, best_colloc string")
+
+
+def _oracle_autosearch(n: int = 3, seed: str = "doc_0") -> str:
+    """Unrolled-CTE DuckDB replay of q_autosearch_chain (same pattern as
+    pagerank_oracle_sql: one CTE block per hop, scalar subqueries thread
+    the data-dependent doc choice through the chain)."""
+    bl, stop = _sql_blacklist(), _sql_stopwords()
+    parts = [
+        "WITH toks AS (",
+        "  SELECT 'doc_' || doc_id AS doc_id,",
+        "         regexp_extract_all(text,"
+        " '[A-Za-z0-9]+|[^\\s A-Za-z0-9]') AS w",
+        "  FROM documents),",
+        "titles AS (SELECT 'doc_' || doc_id AS doc_id,"
+        " 'Doc ' || doc_id AS title FROM documents),",
+        "tk AS (SELECT doc_id, unnest(w) AS token FROM toks),",
+        f"h1d AS (SELECT '{seed}' AS doc_id),",
+    ]
+    for k in range(1, n + 1):
+        nxt = " UNION ALL ".join(
+            f"SELECT doc_id FROM h{j}d" for j in range(1, k + 1))
+        parts.append(f"""
+h{k}top AS (
+  SELECT token FROM tk JOIN h{k}d USING (doc_id)
+  WHERE NOT list_contains({bl}, lower(token))
+    AND NOT regexp_full_match(token, '[0-9]+')
+  GROUP BY token ORDER BY count(*) DESC, token LIMIT 1),
+h{k}bi AS (
+  SELECT w[i] AS w1, w[i+1] AS w2
+  FROM (SELECT w FROM toks JOIN h{k}d USING (doc_id)),
+       unnest(range(1, greatest(len(w), 1))) AS g(i)),
+h{k}cnt AS (SELECT w1, w2, count(*)::DOUBLE AS cnt FROM h{k}bi GROUP BY 1, 2),
+h{k}tot AS (SELECT sum(cnt) AS n_xx FROM h{k}cnt),
+h{k}l AS (SELECT w1, sum(cnt) AS n_ix FROM h{k}cnt GROUP BY 1),
+h{k}r AS (SELECT w2, sum(cnt) AS n_xi FROM h{k}cnt GROUP BY 1),
+h{k}sc AS (SELECT c.w1, c.w2, c.cnt AS n_ii, l.n_ix, r.n_xi, t.n_xx
+           FROM h{k}cnt c JOIN h{k}l l USING (w1)
+           JOIN h{k}r r ON c.w2 = r.w2 CROSS JOIN h{k}tot t),
+h{k}llr AS (SELECT w1, w2, round({_SQL_LLR}, 6) AS llr FROM h{k}sc
+            WHERE length(w1) >= 3 AND NOT list_contains({stop}, lower(w1))
+              AND length(w2) >= 3 AND NOT list_contains({stop}, lower(w2))),
+h{k}c15 AS (SELECT w1 || ' ' || w2 AS colloc FROM h{k}llr
+            ORDER BY llr DESC, w1, w2 LIMIT 15),
+h{k}best AS (SELECT colloc FROM h{k}c15
+             ORDER BY jaro_winkler_similarity(colloc,
+                       (SELECT token FROM h{k}top)) DESC, colloc LIMIT 1),
+h{k}probe AS (SELECT coalesce((SELECT colloc FROM h{k}best),
+                              (SELECT token FROM h{k}top)) AS probe),
+h{k + 1}d AS (
+  SELECT doc_id FROM titles
+  WHERE doc_id NOT IN ({nxt})
+  ORDER BY jaro_winkler_similarity(coalesce(title, ''),
+            (SELECT probe FROM h{k}probe)) DESC, doc_id DESC
+  LIMIT 1),""")
+    body = "\n".join(parts).rstrip().rstrip(",")
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k - 1}::INT AS hop, (SELECT doc_id FROM h{k}d) AS doc_id,\n"
+        f"       (SELECT token FROM h{k}top) AS top_word,\n"
+        f"       (SELECT colloc FROM h{k}best) AS best_colloc"
+        for k in range(1, n + 1))
+    return body + "\n" + selects
+
+
 # -------------------------------------------------------------- multimodal
 #
 # The decode plane (pipeline.multimodal) driven end-to-end with payloads
@@ -2492,9 +2588,9 @@ def queries() -> dict:
         "events_user_deltas": q_events_user_deltas,
         "extract_disambig_links": q_extract_disambig_links,
         "extract_search_links": q_extract_search_links,
+        "autosearch_chain": q_autosearch_chain,
         # -- r3-green, kept in-window to fill to 50 --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
         "ivf_ann_recall": q_ivf_ann_recall,
@@ -2521,6 +2617,7 @@ def queries() -> dict:
         "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "simhash_near_dups": q_simhash_near_dups,
+        "cosine_topk": q_cosine_topk,
         "cube_lineitem": q_cube_lineitem,
         "pivot_linestatus": q_pivot_linestatus,
         "set_ops_customers": q_set_ops_customers,
@@ -2582,6 +2679,7 @@ def oracle_sql() -> dict:
         "events_user_deltas": ORACLE_EVENTS_DELTAS,
         "extract_disambig_links": ORACLE_DISAMBIG_LINKS,
         "extract_search_links": ORACLE_SEARCH_LINKS,
+        "autosearch_chain": _oracle_autosearch(),
         "pagerank_orders": pagerank_oracle_sql(_PAGERANK_EDGES_SQL,
                                                iterations=6, damping=0.85),
         "sketch_accuracy": ORACLE_SKETCH,
