@@ -65,6 +65,41 @@ def _module_file_text(mod) -> str:
     return repr(mod)
 
 
+def _contains_set(v) -> bool:
+    if isinstance(v, (set, frozenset)):
+        return True
+    if isinstance(v, (tuple, list)):
+        return any(_contains_set(e) for e in v)
+    if isinstance(v, dict):
+        return any(_contains_set(k) or _contains_set(x) for k, x in v.items())
+    return False
+
+
+def _canon(v) -> str:
+    """Order-independent repr for set-bearing structures."""
+    if isinstance(v, (set, frozenset)):
+        tag = "frozenset" if isinstance(v, frozenset) else "set"
+        return tag + "({" + ", ".join(sorted(_canon(e) for e in v)) + "})"
+    if isinstance(v, tuple):
+        inner = ", ".join(_canon(e) for e in v)
+        return "(" + inner + ("," if len(v) == 1 else "") + ")"
+    if isinstance(v, list):
+        return "[" + ", ".join(_canon(e) for e in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ", ".join(f"{_canon(k)}: {_canon(x)}"
+                               for k, x in v.items()) + "}"
+    return repr(v)
+
+
+def _const_repr(v) -> str:
+    """repr() for constant records, but stable across processes: plain
+    repr() of a set/frozenset follows per-process hash-randomized iteration
+    order (ADVICE r4 medium), so set-bearing values are rendered with their
+    elements sorted by canonical repr. Values with no sets keep the exact
+    repr() text so existing manifest fingerprints are unaffected."""
+    return _canon(v) if _contains_set(v) else repr(v)
+
+
 def _all_names(code) -> set:
     """co_names of a code object plus all nested code objects (lambdas,
     comprehensions, inner defs)."""
@@ -154,7 +189,8 @@ def _closure_records(root_fn) -> list:
                         elif isinstance(av, (str, int, float, bool, tuple,
                                              frozenset, bytes, list, dict,
                                              set)):
-                            records[f"{v.__name__}:const:{attr}"] = repr(av)
+                            records[f"{v.__name__}:const:{attr}"] = \
+                                _const_repr(av)
                         else:
                             stack.append(av)
                 elif isinstance(v, (types.FunctionType, type)):
@@ -169,7 +205,7 @@ def _closure_records(root_fn) -> list:
                 elif isinstance(v, (str, int, float, bool, tuple, frozenset,
                                     bytes, list, dict, set)) \
                         and _in_pkg_module(g.get("__name__")):
-                    records[f"{g['__name__']}:const:{name}"] = repr(v)
+                    records[f"{g['__name__']}:const:{name}"] = _const_repr(v)
         elif isinstance(obj, type):
             if not _in_pkg_module(obj.__module__):
                 continue

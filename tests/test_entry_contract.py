@@ -131,6 +131,8 @@ def test_driver_window_holds_stale_queries():
     with open(manifest_path) as f:
         manifest = json.load(f)
 
+    manifest.pop("_meta", None)
+    latest = max(rec["round"] for rec in manifest.values())
     names = list(entrymod.queries())
     problems = []
     for n in names[50:]:
@@ -140,6 +142,37 @@ def test_driver_window_holds_stale_queries():
         elif query_fingerprint(n) != rec["hash"]:
             problems.append(
                 f"{n}: deps changed since driver round {rec['round']}")
+        elif rec["round"] < latest - 2:
+            # Age bound (VERDICT r4 #4): fingerprints can't see Spark
+            # upgrades or testdata-layout changes, so an unchanged query
+            # still may not skip the driver gate forever.
+            problems.append(
+                f"{n}: last driver row r{rec['round']} is more than 2 "
+                f"rounds behind the window (r{latest})")
     assert problems == [], (
         "stale queries outside the driver's 50-entry gate window — move "
         "them into the first 50 of queries():\n  " + "\n  ".join(problems))
+
+
+def test_fingerprints_stable_across_hash_seeds():
+    """ADVICE r4 (medium): repr() of set/frozenset constants follows
+    per-process hash-randomized iteration order, so fingerprints computed
+    in different processes could spuriously differ, breaking the rotation
+    rule. _const_repr canonicalizes set-bearing values; this pins the fix
+    by fingerprinting a set-bearing query (extract_paragraphs reaches
+    kernel's anchor-class frozensets) under two different PYTHONHASHSEEDs.
+    """
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = ("import sys; sys.path.insert(0, %r); "
+            "from scripts.dep_fingerprint import query_fingerprint; "
+            "print(query_fingerprint('extract_paragraphs'))" % repo)
+    outs = []
+    for seed in ("1", "2"):
+        env = dict(os.environ, PYTHONHASHSEED=seed)
+        r = subprocess.run([sys.executable, "-c", code], env=env,
+                           capture_output=True, text=True, cwd=repo)
+        assert r.returncode == 0, r.stderr
+        outs.append(r.stdout.strip())
+    assert outs[0] == outs[1], f"fingerprint differs across seeds: {outs}"
