@@ -169,3 +169,22 @@ def test_show_emits_summary_slices(session, spans):
 def test_unknown_command_reports(session):
     assert session.parse_cmd("frobnicate") is False
     assert session.output[-1] == "Unknown command: frobnicate"
+
+
+def test_empty_stack_pop_unpop_and_bad_sents_do_not_abort(session, spans):
+    """ADVICE r4: 'st pop' on an empty page_stack, 'st unpop' on an empty
+    pop_stack, and 'st sents <non-int>' must emit error lines (like the
+    sa/links/found branches) instead of raising out of parse_cmd and
+    killing the whole script."""
+    doc_id, title = _a_title(spans)
+    session.parse_cmd(f"s {title}")       # page_stack == [title]
+    session.parse_cmd("st unpop")         # pop_stack is empty
+    assert any("pop stack is empty" in line for line in session.output)
+    session.parse_cmd("st pop")           # legit pop -> stack now empty
+    session.parse_cmd("st pop")           # second pop: empty page_stack
+    assert any("page stack is empty" in line for line in session.output)
+    session.parse_cmd("st sents zero five")
+    assert any("bad range" in line for line in session.output)
+    # and the session is still usable afterwards
+    session.parse_cmd("st unpop")
+    assert session.crawl_state["page_stack"] == [title]

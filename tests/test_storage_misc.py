@@ -111,3 +111,23 @@ def test_asof_join_rejects_carried_name_collision(spark):
                                   "user_id string, ts int, v double")
     with pytest.raises(ValueError, match="v_asof"):
         asof_join(left, right, on="ts", by="user_id", value_cols=["v"])
+
+
+def test_staging_dirs_unique_and_cleaned():
+    """ADVICE r4: materialization boundaries must not leak staging dirs
+    across invocations; paths are unique per call and cleanup_staged()
+    (also registered atexit) removes everything this process reserved."""
+    import os
+
+    from wikicrawler_spark import staging
+
+    a = staging.stage_dir("wcs_test_stage")
+    b = staging.stage_dir("wcs_test_stage")
+    assert a != b  # a second invocation can't overwrite the first
+    os.makedirs(a, exist_ok=True)
+    os.makedirs(b, exist_ok=True)
+    with open(os.path.join(a, "part-0"), "w") as f:
+        f.write("x")
+    staging.cleanup_staged()
+    assert not os.path.exists(a) and not os.path.exists(b)
+    assert staging._STAGED == []

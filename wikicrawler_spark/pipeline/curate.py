@@ -56,7 +56,9 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
       cross-branch subplan CSE, so without a boundary the whole per-doc
       funnel re-executes once per branch (439 s -> ~120 s end-to-end).
       This is the production shape — a real pipeline stages the filtered
-      corpus as a table between the per-doc and pairwise phases; pass
+      corpus as a table between the per-doc and pairwise phases. The
+      stage dir is unique per invocation and removed at process exit
+      (lifetime contract: wikicrawler_spark.staging). Pass
       ``materialize=False`` to keep the single fully-declarative plan
       (results are identical — the DuckDB oracle replays both)."""
     toked = docs.select("doc_id", "text",
@@ -80,13 +82,11 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
         .filter(F.col("__rn") == 1).drop("__rn")
     )
     if materialize:
-        import os
-        import tempfile
-        import uuid
+        # unique per invocation; removed at process exit (ADVICE r4 —
+        # lifetime contract in wikicrawler_spark.staging)
+        from ..staging import stage_dir
 
-        stage = os.path.join(
-            tempfile.gettempdir(),
-            f"wcs_curate_surv_{os.getpid()}_{uuid.uuid4().hex[:8]}")
+        stage = stage_dir("wcs_curate_surv")
         survivors.write.mode("overwrite").parquet(stage)
         survivors = docs.sparkSession.read.parquet(stage)
     # re-derive the token attribute on the post-boundary (or post-window)

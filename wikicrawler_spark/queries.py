@@ -1355,10 +1355,8 @@ def q_training_corpus(spark, sf_dir):
     model-ready chunks, expressed so Catalyst sees every stage at once —
     and every stage is SQL-replayable, so the oracle recomputes the full
     chain from the raw documents table."""
-    import os
-    import tempfile
-
     from .pipeline.curate import curate_corpus
+    from .staging import stage_dir
 
     spans = _flat(extract_spans(wrapped_docs(spark, sf_dir)))
     body = spans.filter(F.col("kind") == "paragraph").select("doc_id", "text")
@@ -1371,8 +1369,10 @@ def q_training_corpus(spark, sf_dir):
     # extraction output before curation) — instead of a persist() that
     # outlived the query and held executor memory across every subsequent
     # registry entry.
-    stage = os.path.join(tempfile.gettempdir(),
-                         f"wcs_training_body_{os.getpid()}")
+    # unique per invocation so a second run can't rewrite files under a
+    # DataFrame returned by the first; removed at process exit (ADVICE r4,
+    # lifetime contract in wikicrawler_spark.staging)
+    stage = stage_dir("wcs_training_body")
     body.write.mode("overwrite").parquet(stage)
     body = spark.read.parquet(stage)
     curated = curate_corpus(body)
@@ -2181,6 +2181,69 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_sessionize_replay(spark, sf_dir):
+    """Driver-grade evidence for the STREAMING plane (VERDICT r4 "next
+    round" #3): run the applyInPandasWithState sessionizer
+    (streaming.stream_sessionize) over a pinned deterministic micro-batch
+    sequence of the events table and land its final state table, which
+    must hash-match the already-oracled batch gap rule (ORACLE_SESSIONIZE
+    — same SQL, no tolerance).
+
+    Determinism: events are globally ordered by (ts, event_id) and split
+    into three time-ordered parquet files with lexicographic names AND
+    strictly increasing mtimes, so the file source (maxFilesPerTrigger=1)
+    replays the exact same three micro-batches every run; sessions cross
+    batch boundaries, so state carry-over is actually exercised. Value
+    sums accumulate as integer micro-units in the state (exact for the
+    6-decimal corpus), and the final half-away-from-zero rounding to 4dp
+    is done in integer arithmetic — bit-identical to the oracle's
+    DECIMAL(18,6) sum.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from .staging import stage_dir
+    from .streaming import stream_sessionize
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    n = e.count()
+    ranked = e.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    in_dir = stage_dir("wcs_sess_replay_in")
+    os.makedirs(in_dir, exist_ok=True)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    mtime = 1_700_000_000  # fixed epoch: only the ORDER matters
+    for i in range(3):
+        tmp = stage_dir("wcs_sess_replay_tmp")
+        (ranked.filter((F.col("__rn") > cuts[i]) & (F.col("__rn") <= cuts[i + 1]))
+         .drop("__rn").coalesce(1).write.mode("overwrite").parquet(tmp))
+        dst = os.path.join(in_dir, f"batch-{i:02d}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (mtime + i, mtime + i))
+    src = (spark.readStream.schema(e.schema)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    qname = "wcs_sess_replay_" + uuid.uuid4().hex[:8]
+    q = (stream_sessionize(src, micros_value=True).writeStream
+         .format("memory").queryName(qname).outputMode("update")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    # a session's successive emissions have strictly increasing n_events,
+    # so its final aggregate is the max-(n_events) row per key
+    final = spark.table(qname).groupBy("user_id", "session_id").agg(
+        F.max(F.struct("n_events", "session_value_micros")).alias("m"))
+    micros = F.col("m.session_value_micros")
+    half_up_4dp = (F.signum(micros)
+                   * F.floor((F.abs(micros) + F.lit(50)) / 100)
+                   / F.lit(10000.0)).cast("double")
+    return final.select(
+        "user_id", "session_id",
+        F.col("m.n_events").alias("n_events"),
+        half_up_4dp.alias("session_value"))
+
+
 ORACLE_SESSIONIZE = """
 WITH g AS (
   SELECT user_id, event_id, ts, value,
@@ -2589,6 +2652,8 @@ def queries() -> dict:
         "extract_disambig_links": q_extract_disambig_links,
         "extract_search_links": q_extract_search_links,
         "autosearch_chain": q_autosearch_chain,
+        # -- new in round 5: the streaming plane's driver row --
+        "stream_sessionize_replay": q_stream_sessionize_replay,
         # -- r3-green, kept in-window to fill to 50 --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -2696,6 +2761,9 @@ def oracle_sql() -> dict:
         "top_orders_per_customer": ORACLE_TOP_ORDERS,
         "orders_by_nation": ORACLE_ORDERS_BY_NATION,
         "events_sessionize": ORACLE_SESSIONIZE,
+        # the stream replay must land the SAME final state the batch gap
+        # rule computes — identical SQL, no tolerance
+        "stream_sessionize_replay": ORACLE_SESSIONIZE,
         "upsert_latest": ORACLE_UPSERT,
         "validate_doc_ids": ORACLE_VALIDATE,
         "asof_login_value": ORACLE_ASOF,

@@ -277,13 +277,21 @@ class WikiSession:
                     except (ValueError, IndexError):
                         pass
             case ["pop"]:
-                self.pointer["selection"] = \
-                    self.crawl_state["page_stack"].pop()
-                self.crawl_state["pop_stack"].append(
-                    self.pointer["selection"])
+                # ADVICE r4: empty stacks emit an error line like the
+                # other branches instead of aborting the whole script
+                if not self.crawl_state["page_stack"]:
+                    self._emit("st pop: page stack is empty")
+                else:
+                    self.pointer["selection"] = \
+                        self.crawl_state["page_stack"].pop()
+                    self.crawl_state["pop_stack"].append(
+                        self.pointer["selection"])
             case ["unpop"]:
-                self.crawl_state["page_stack"].append(
-                    self.crawl_state["pop_stack"].pop())
+                if not self.crawl_state["pop_stack"]:
+                    self._emit("st unpop: pop stack is empty")
+                else:
+                    self.crawl_state["page_stack"].append(
+                        self.crawl_state["pop_stack"].pop())
             case ["current"]:
                 self._emit(str(self.pointer["selection"]))
             case ["show", *amount]:
@@ -336,8 +344,14 @@ class WikiSession:
         if not row:
             return
         sents = list(row[0]["sents"])
-        sel = sents[(int(start) if start is not None else None):
-                    (int(stop) if stop is not None else None)]
+        try:
+            sel = sents[(int(start) if start is not None else None):
+                        (int(stop) if stop is not None else None)]
+        except ValueError:
+            # ADVICE r4: non-integer endpoints emit an error line like the
+            # sa/links/found handlers instead of raising out of run_script
+            self._emit(f"st sents: bad range {start!r}:{stop!r}")
+            return
         self.pointer["selected_text"] = sel
         for s in sel:
             self._emit(s)

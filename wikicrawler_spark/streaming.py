@@ -124,7 +124,8 @@ def stream_event_windows(events, *, window: str = "1 hour",
     )
 
 
-def stream_sessionize(events, *, gap_minutes: int = 30):
+def stream_sessionize(events, *, gap_minutes: int = 30,
+                      micros_value: bool = False):
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``:
     gap-based sessionization of an event stream — the streaming twin of the
     batch ``queries.q_events_sessionize`` (same 30-min gap rule, same
@@ -146,25 +147,34 @@ def stream_sessionize(events, *, gap_minutes: int = 30):
     semantics (SURVEY §2.5), so this operator pins the simple contract.
 
     ``session_value`` is emitted unrounded (a float sum in event order);
-    the batch query rounds decimals — compare with a tolerance.
+    the batch query rounds decimals — compare with a tolerance. With
+    ``micros_value=True`` the state accumulates integer MICRO-units of
+    ``value`` instead (exact for 6-decimal inputs) and the output column
+    is ``session_value_micros`` (int64) — this is what lets the driver
+    replay (queries.q_stream_sessionize_replay) hash-match the decimal
+    batch oracle with no tolerance.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     key_type = events.schema["user_id"].dataType  # adopt the input's key type
+    val_field = ("session_value_micros", T.LongType()) if micros_value \
+        else ("session_value", T.DoubleType())
     out_type = T.StructType([
         T.StructField("user_id", key_type),
         T.StructField("session_id", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("session_value", T.DoubleType()),
+        T.StructField(*val_field),
     ])
     state_type = T.StructType([
         T.StructField("last_ts_us", T.LongType()),
         T.StructField("session_id", T.LongType()),
         T.StructField("n", T.LongType()),
-        T.StructField("val", T.DoubleType()),
+        T.StructField("val", T.LongType() if micros_value
+                      else T.DoubleType()),
     ])
     gap_us = gap_minutes * 60_000_000
+    zero = 0 if micros_value else 0.0
 
     def fn(key, pdfs, state):
         user = key[0]
@@ -175,22 +185,23 @@ def stream_sessionize(events, *, gap_minutes: int = 30):
         if state.exists:
             last_ts, sess, n, val = state.get
         else:
-            last_ts, sess, n, val = None, 0, 0, 0.0
-        changed: dict[int, tuple[int, float]] = {}
+            last_ts, sess, n, val = None, 0, 0, zero
+        changed: dict = {}
         ts_us = (ev["ts"].astype("int64") // 1000).tolist()
         for t, v in zip(ts_us, ev["value"].tolist()):
             if last_ts is None or t - last_ts > gap_us:
                 sess += 1
                 n = 0
-                val = 0.0
+                val = zero
             n += 1
-            val += float(v)
+            val += int(round(float(v) * 1_000_000)) if micros_value \
+                else float(v)
             last_ts = t
             changed[sess] = (n, val)
         state.update((last_ts, sess, n, val))
         yield pd.DataFrame(
             [(user, s, c, v) for s, (c, v) in sorted(changed.items())],
-            columns=["user_id", "session_id", "n_events", "session_value"],
+            columns=["user_id", "session_id", "n_events", val_field[0]],
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
