@@ -19,10 +19,13 @@ the expected spans from the raw text with pure SQL.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from . import analytics as A
 from .kernel import extract_spans
+from .treebank import ABBREVIATIONS as A_TB_ABBREVIATIONS
 from .pipeline import dedup as D
 from .graph import connected_components, pagerank, pagerank_oracle_sql
 from .pipeline import bm25 as B
@@ -544,6 +547,172 @@ WITH toks AS (
   FROM freq
 )
 SELECT doc_id, token AS top_token, cnt AS top_cnt FROM ranked WHERE rn = 1
+"""
+
+
+# -- word_freq on the vendored Treebank backend (A2/A3 parity row) ----------
+#
+# Tokenizer-default POLICY (also stated in SURVEY §2.3 / COVERAGE.md): the
+# engine DEFAULT stays the pinned native regex spec — regexp_extract_all is
+# JVM-side whole-stage codegen in the hot path, the right call at 100 TB —
+# and reference-exact nltk tokenization (paragraph.py:72-73) is an explicit
+# per-session opt-in: analytics.set_tokenizer_backend("treebank") runs the
+# vendored NLTKWordTokenizer cascade (treebank.py) as an Arrow-batched
+# pandas UDF. This row is the opt-in path's driver evidence: documents.text
+# is decorated into punctuation-rich prose by IDENTICAL native expressions
+# on both sides (leading/inline double quotes, unicode quotes, n't/'s/'ll
+# contractions, all ten MacIntyre splits, Dr./etc. abbreviations, dotted
+# acronyms, single-letter words, digit-next periods, ellipses, ;@#$%&*,
+# brackets, double dashes — every cascade rule and every punktish-split
+# suppression branch fires), Spark tokenizes with the real backend, and the
+# DuckDB oracle independently replays punktish_sentence_split plus all 30
+# cascade rules as chained RE2 regexp_replace (the two lookahead rules are
+# rewritten lookahead-free; see _TB_CASCADE comments).
+
+
+def _tb_decorate(elem: str, split: str) -> str:
+    """Deterministic punctuation-rich decoration of documents.text,
+    emitted for either dialect: (elem, split) = ('element_at', 'split')
+    for Spark SQL, ('list_extract', 'string_split') for DuckDB. Both
+    element accessors are 1-based; docs have >= 10 words at every SF."""
+    def w(i: int) -> str:
+        return f"{elem}({split}(text, ' '), {i})"
+    main = (
+        "'\"The ' || " + w(1) + " || ' can''t stop,\" said Dr. ' || " + w(2) +
+        " || '. It''s the U.S. plan (see p. 7) -- really... ' || " + w(3) +
+        " || ' gotta cannot gimme stop! ' || " + w(4) +
+        " || '''s book isn''t yours; it @ #5 & 20% * [sure] {very} <tag>? "
+        "Yes, ''tis ' || " + w(5) + " || '''ll do -- \"quoted\" end.'"
+    )
+    variant = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN ' Mr. ' || " + w(6) + " || ' agreed; ''twas fine.' "
+        "WHEN 1 THEN ' See etc. For more, wanna d''ye more''n win.' "
+        "WHEN 2 THEN ' At 5 p.m. Trains stop. “Ok” fine.' "
+        "ELSE ' Gonna lemme ''o end? Sure.' END"
+    )
+    return main + " || " + variant
+
+
+# punktish_sentence_split suppression (treebank.py:103): a '.' boundary is
+# suppressed when the preceding whitespace-delimited chunk is a dotted
+# acronym, a single letter/digit, or a known abbreviation. Replayed as a
+# protect pass that rewrites ONLY the chunk-final '.' to chr(1) before the
+# boundary marking, and restores it before the cascade.
+_TB_ABBR_ALT = "|".join(
+    re.escape(a) for a in sorted(A_TB_ABBREVIATIONS, key=len, reverse=True)
+)
+_TB_PROTECT = r"(?i)(^|\s)((?:[a-z]\.)*[a-z]|[0-9]|" + _TB_ABBR_ALT + r")\."
+
+# treebank.py rule tables translated to RE2 (DuckDB regexp_replace).
+# Verbatim except: STARTING_QUOTES[4]'s negative lookahead collapses to a
+# character class because its (\w)\b already forces a single-char word (the
+# two-char exclusions re/ve/ll can never co-occur with the boundary), and
+# CONTRACTIONS2's wanna (?=\s) lookahead becomes a captured-and-re-emitted
+# (\s). Order is load-bearing, exactly as in treebank.py.
+_TB_CASCADE = [
+    # STARTING_QUOTES
+    (r"([«“‘„]|`+)", r" \1 "),
+    (r'^"', r"``"),
+    (r"(``)", r" \1 "),
+    (r"([ \(\[{<])(\"|'{2})", r"\1 `` "),
+    (r"(?i)(')([0-9_abcefghijklopqruvwxyz])\b", r"\1 \2"),
+    # PUNCTUATION
+    (r'([^\.])(\.)([\]\)}>"\'»”’ ]*)\s*$', r"\1 \2 \3 "),
+    (r"([:,])([^\d])", r" \1 \2"),
+    (r"([:,])$", r" \1 "),
+    (r"(\.{2,})", r" \1 "),
+    (r"([;@#$%&])", r" \1 "),
+    (r'([^\.])(\.)([\]\)}>"\']*)\s*$', r"\1 \2\3 "),
+    (r"([?!])", r" \1 "),
+    (r"([^'])' ", r"\1 ' "),
+    (r"([*])", r" \1 "),
+    # PARENS_BRACKETS, DOUBLE_DASHES, then the ' '-padding step
+    (r"([\]\[\(\)\{\}\<\>])", r" \1 "),
+    (r"(--)", r" \1 "),
+    ("__PAD__", ""),
+    # ENDING_QUOTES
+    (r"([»”’])", r" \1 "),
+    (r"('')", r" '' "),
+    (r'(")', r" '' "),
+    (r"([^' ])('[sS]|'[mM]|'[dD]|') ", r"\1 \2 "),
+    (r"([^' ])('ll|'LL|'re|'RE|'ve|'VE|n't|N'T) ", r"\1 \2 "),
+    # CONTRACTIONS2 + CONTRACTIONS3
+    (r"(?i)\b(can)(not)\b", r" \1 \2 "),
+    (r"(?i)\b(d)('ye)\b", r" \1 \2 "),
+    (r"(?i)\b(gim)(me)\b", r" \1 \2 "),
+    (r"(?i)\b(gon)(na)\b", r" \1 \2 "),
+    (r"(?i)\b(got)(ta)\b", r" \1 \2 "),
+    (r"(?i)\b(lem)(me)\b", r" \1 \2 "),
+    (r"(?i)\b(more)('n)\b", r" \1 \2 "),
+    (r"(?i)\b(wan)(na)(\s)", r" \1 \2 \3"),
+    (r"(?i) ('t)(is)\b", r" \1 \2 "),
+    (r"(?i) ('t)(was)\b", r" \1 \2 "),
+]
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _tb_cascade_sql(col: str) -> str:
+    expr = col
+    for pat, rep in _TB_CASCADE:
+        if pat == "__PAD__":
+            expr = f"(' ' || {expr} || ' ')"
+        else:
+            expr = f"regexp_replace({expr}, {_sql_str(pat)}, {_sql_str(rep)}, 'g')"
+    return expr
+
+
+def q_word_freq_treebank(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr(_tb_decorate("element_at", "split")).alias("text"),
+    )
+    prev = A.tokenizer_backend()
+    A.set_tokenizer_backend("treebank")
+    try:
+        # backend is read at plan-build time; restore immediately after
+        return A.word_freq(docs, text_col="text")
+    finally:
+        A.set_tokenizer_backend(prev)
+
+
+def _oracle_word_freq_treebank() -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id::VARCHAR AS doc_id,
+         {_tb_decorate("list_extract", "string_split")} AS t
+  FROM documents
+), protected AS (
+  SELECT doc_id, regexp_replace(t, {_sql_str(_TB_PROTECT)},
+                                '\\1\\2' || chr(1), 'g') AS t
+  FROM base
+), marked AS (
+  -- boundary regex ([.!?])([''")\\]]*)(\\s+): '!'/'?' always split; '.'
+  -- splits unless next char is lower/digit (protect pass already removed
+  -- the prev-word suppressions). Sentence keeps \\1\\2, whitespace drops.
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, '([!?])([''")\\]]*)(\\s+)', '\\1\\2' || chr(2), 'g'),
+        '(\\.)([''")\\]]*)(\\s+)$', '\\1\\2' || chr(2), 'g'),
+      '(\\.)([''")\\]]*)(\\s+)([^a-z0-9])', '\\1\\2' || chr(2) || '\\4', 'g') AS t
+  FROM protected
+), sents AS (
+  SELECT doc_id, unnest(string_split(replace(t, chr(1), '.'), chr(2))) AS s
+  FROM marked
+), toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array({_tb_cascade_sql('s')}, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM sents WHERE s <> ''
+)
+SELECT doc_id, token, count(*) AS cnt FROM toks
+WHERE NOT list_contains({_sql_blacklist()}, lower(token))
+  AND NOT regexp_full_match(token, '[0-9]+')
+GROUP BY doc_id, token
 """
 
 
@@ -2652,8 +2821,11 @@ def queries() -> dict:
         "extract_disambig_links": q_extract_disambig_links,
         "extract_search_links": q_extract_search_links,
         "autosearch_chain": q_autosearch_chain,
-        # -- new in round 5: the streaming plane's driver row --
+        # -- new in round 5: the streaming plane's driver row, and the
+        #    vendored-Treebank opt-in parity row (tokenizer policy: default
+        #    stays the native regex spec; see q_word_freq_treebank) --
         "stream_sessionize_replay": q_stream_sessionize_replay,
+        "word_freq_treebank": q_word_freq_treebank,
         # -- r3-green, kept in-window to fill to 50 --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -2717,6 +2889,7 @@ def oracle_sql() -> dict:
         "extract_references": ORACLE_REFERENCES,
         "extract_categories": ORACLE_CATEGORIES,
         "word_freq": ORACLE_WORD_FREQ,
+        "word_freq_treebank": _oracle_word_freq_treebank(),
         "argmax_freq": ORACLE_ARGMAX_FREQ,
         "bigram_collocations": ORACLE_BIGRAMS,
         "trigram_collocations": _oracle_trigrams(),
