@@ -562,3 +562,34 @@ def test_vendored_vader_vs_live_nltk():
     finally:
         _SIA.lexicon.clear()
         _SIA.lexicon.update(full)
+
+
+def test_vader_lexicon_file_loader(tmp_path):
+    """r5 (VERDICT r4 #5): load_lexicon_file parses the published
+    vader_lexicon.txt format (token<TAB>mean<TAB>std<TAB>raw) and the
+    loaded values drive polarity_scores via the lexicon argument."""
+    from wikicrawler_spark.vader import load_lexicon_file, polarity_scores
+
+    p = tmp_path / "vader_lexicon.txt"
+    p.write_text(
+        "splendid\t3.0\t0.5\t[3, 3, 3]\n"
+        "dire\t-2.8\t0.6\t[-3, -2, -3]\n"
+        "badline\n"
+        "notafloat\tx\ty\tz\n",
+        encoding="utf-8",
+    )
+    lex = load_lexicon_file(str(p))
+    assert lex == {"splendid": 3.0, "dire": -2.8}
+    got = polarity_scores("That was splendid.", lex)
+    # 3.0 -> compound 3/sqrt(9+15) = 0.6124
+    assert got["compound"] == 0.6124
+
+
+def test_pinned_sentiment_lexicon_ignores_env_overlay():
+    """PINNED_LEXICON (the sentence_sentiment driver row's word set) must
+    stay vendored-subset + extras regardless of the WCS_VADER_LEXICON
+    overlay, so the DuckDB oracle replays identically on any host."""
+    from wikicrawler_spark import vader
+    from wikicrawler_spark.sentiment import PINNED_LEXICON, _EXTRA_LEXICON
+
+    assert PINNED_LEXICON == {**vader.LEXICON, **_EXTRA_LEXICON}

@@ -926,6 +926,256 @@ FROM documents
 """
 
 
+# -- sentence sentiment, oracled (A9/A10 driver row, VERDICT r4 #5) ---------
+#
+# The vendored VADER algorithm (vader.py) is deterministic arithmetic, so
+# with a restricted vocabulary it is SQL-replayable the same way the media
+# plane is. Template sentences are built from documents.text words (all 31
+# corpus words verified OOV vs the pinned lexicon/boosters/negators) and
+# exercise: lexicon lookup, booster scaling at distance 1-3 with 0.95/0.9
+# damping, tri-gram negation, the never-so 1.25 exception, the no-chain,
+# allcaps emphasis (+/-0.733 with the cap-differential gate), the
+# but-clause 0.5/1.5 reweighting, least-negation with the at/very
+# exception, !/?-punctuation amplification, the (v+/-1) sift, and alpha-15
+# normalization. Scoring runs through pinned_sentiment_udf (vendored
+# algorithm + PINNED_LEXICON — host-independent, never nltk or the env
+# overlay); the DuckDB oracle replays the full per-word valence pipeline
+# with lag-window context and the sentence-level score_valence math.
+# SPECIAL_CASES idioms are the one branch the templates never reach (the
+# corpus vocabulary cannot form them); they stay covered by vader.py's
+# hand-computed pytest.
+
+_VADER_TEMPLATES = [
+    (0, "'The ' || {w1} || ' is really good.'"),
+    (1, "{w1} || ' was not good, but ' || {w2} || ' is great!'"),
+    (2, "{w1} || ' is really very GOOD.'"),
+    (3, "'The ' || {w2} || ' was never so good.'"),
+    (4, "{w1} || ' has no good plan??'"),
+    (5, "{w1} || ' was least good, ' || {w2} || ' at least nice.'"),
+]
+
+
+def _vader_case_map(d: dict, col: str) -> str:
+    whens = " ".join(
+        f"WHEN {_sql_str(k)} THEN {float(v)!r}" for k, v in d.items())
+    return f"(CASE {col} {whens} END)"
+
+
+def q_sentence_sentiment(spark, sf_dir):
+    from . import sentiment as SENT
+
+    rows = ", ".join(
+        "struct({v} AS variant, {tpl} AS sentence)".format(
+            v=v, tpl=tpl.format(w1="element_at(split(text, ' '), 1)",
+                                w2="element_at(split(text, ' '), 2)"))
+        for v, tpl in _VADER_TEMPLATES
+    )
+    sent = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                F.explode(F.expr(f"array({rows})")).alias("sv"))
+        .select("doc_id", F.col("sv.variant").alias("variant"),
+                F.col("sv.sentence").alias("sentence"))
+    )
+    out = SENT.blended_word_sentiment(
+        sent, "sentence", score_udf=SENT.pinned_sentiment_udf)
+    return out.select(
+        "doc_id", "variant", "word",
+        F.col("sent_score.neg").alias("s_neg"),
+        F.col("sent_score.neu").alias("s_neu"),
+        F.col("sent_score.pos").alias("s_pos"),
+        F.col("sent_score.compound").alias("s_compound"),
+        F.col("blended.neg").alias("b_neg"),
+        F.col("blended.neu").alias("b_neu"),
+        F.col("blended.pos").alias("b_pos"),
+        F.col("blended.compound").alias("b_compound"),
+    )
+
+
+def _oracle_sentence_sentiment() -> str:
+    from . import vader as V
+    from .sentiment import PINNED_LEXICON
+
+    lex = {k: float(v) for k, v in PINNED_LEXICON.items()}
+    boost = {k: float(v) for k, v in V.BOOSTER_DICT.items() if " " not in k}
+    neg_list = ", ".join(_sql_str(w) for w in sorted(V.NEGATE))
+
+    def lexv(col):
+        return _vader_case_map(lex, col)
+
+    def boostv(col):
+        return _vader_case_map(boost, col)
+
+    def negated(col):
+        return f"(({col}) IN ({neg_list}) OR contains(({col}), 'n''t'))"
+
+    def booster_scalar(raw, low, v):
+        return f"""
+CASE WHEN {boostv(low)} IS NULL THEN 0.0 ELSE
+  {boostv(low)} * (CASE WHEN {v} < 0 THEN -1.0 ELSE 1.0 END)
+  + (CASE WHEN {raw} = upper({raw}) AND {raw} <> lower({raw}) AND is_cap_diff
+          THEN (CASE WHEN {v} > 0 THEN 0.733 ELSE -0.733 END) ELSE 0.0 END)
+END"""
+
+    sent_union = " UNION ALL ".join(
+        f"SELECT doc_id, {v} AS variant, " + tpl.format(
+            w1="list_extract(ws, 1)", w2="list_extract(ws, 2)")
+        + " AS sentence FROM docs"
+        for v, tpl in _VADER_TEMPLATES
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id::VARCHAR AS doc_id, string_split(text, ' ') AS ws
+  FROM documents
+), sent AS (
+  {sent_union}
+), toks AS (
+  SELECT doc_id, variant, sentence,
+         generate_subscripts(string_split(sentence, ' '), 1) AS i,
+         unnest(string_split(sentence, ' ')) AS raw
+  FROM sent
+), w AS (
+  SELECT *, CASE WHEN length(trim(raw, {_sql_str(V._PUNC)})) > 2
+                 THEN trim(raw, {_sql_str(V._PUNC)}) ELSE raw END AS wd
+  FROM toks
+), cap AS (
+  SELECT doc_id, variant,
+         count(*) FILTER (wd = upper(wd) AND wd <> lower(wd)) AS ncap,
+         count(*) AS nw
+  FROM w GROUP BY doc_id, variant
+), ctx AS (
+  SELECT w.doc_id, w.variant, w.sentence, w.i, w.wd, lower(w.wd) AS wl,
+         (cap.ncap > 0 AND cap.ncap < cap.nw) AS is_cap_diff, cap.nw,
+         lag(w.wd, 1) OVER win AS r1, lag(w.wd, 2) OVER win AS r2,
+         lag(w.wd, 3) OVER win AS r3,
+         lower(lag(w.wd, 1) OVER win) AS p1,
+         lower(lag(w.wd, 2) OVER win) AS p2,
+         lower(lag(w.wd, 3) OVER win) AS p3,
+         lower(lead(w.wd, 1) OVER win) AS f1
+  FROM w JOIN cap USING (doc_id, variant)
+  WINDOW win AS (PARTITION BY w.doc_id, w.variant ORDER BY i)
+), s1 AS (
+  -- booster/kind-of words score 0 and skip; lexicon lookup + no-chain
+  SELECT *,
+    ({boostv('wl')} IS NOT NULL
+     OR (wl = 'kind' AND f1 = 'of' AND i < nw)) AS skip,
+    ({lexv('wl')} IS NOT NULL) AS in_lex,
+    CASE WHEN wl = 'no' AND i < nw AND {lexv('f1')} IS NOT NULL THEN 0.0
+         WHEN (i > 1 AND p1 = 'no') OR (i > 2 AND p2 = 'no')
+              OR (i > 3 AND p3 = 'no' AND p1 IN ('or', 'nor'))
+           THEN {lexv('wl')} * -0.74
+         ELSE {lexv('wl')} END AS base
+  FROM ctx
+), s2 AS (
+  SELECT *,
+    CASE WHEN skip OR NOT in_lex THEN 0.0
+         ELSE base + (CASE WHEN wd = upper(wd) AND wd <> lower(wd)
+                           AND is_cap_diff
+                           THEN (CASE WHEN base > 0 THEN 0.733 ELSE -0.733 END)
+                           ELSE 0.0 END)
+    END AS va,
+    (NOT skip AND in_lex) AS live
+  FROM s1
+), s3 AS (
+  SELECT *, CASE WHEN live AND i > 1 AND {lexv('p1')} IS NULL THEN
+      (CASE WHEN {negated('p1')}
+            THEN (va + ({booster_scalar('r1', 'p1', 'va')})) * -0.74
+            ELSE va + ({booster_scalar('r1', 'p1', 'va')}) END)
+    ELSE va END AS vb
+  FROM s2
+), s4 AS (
+  SELECT *, CASE WHEN live AND i > 2 AND {lexv('p2')} IS NULL THEN
+      (CASE WHEN p2 = 'never' AND p1 IN ('so', 'this')
+            THEN (vb + ({booster_scalar('r2', 'p2', 'vb')}) * 0.95) * 1.25
+            WHEN p2 = 'without' AND p1 = 'doubt'
+            THEN vb + ({booster_scalar('r2', 'p2', 'vb')}) * 0.95
+            WHEN {negated('p2')}
+            THEN (vb + ({booster_scalar('r2', 'p2', 'vb')}) * 0.95) * -0.74
+            ELSE vb + ({booster_scalar('r2', 'p2', 'vb')}) * 0.95 END)
+    ELSE vb END AS vc
+  FROM s3
+), s5 AS (
+  -- start_i = 2; SPECIAL_CASES idioms unreachable by these templates
+  SELECT *, CASE WHEN live AND i > 3 AND {lexv('p3')} IS NULL THEN
+      (CASE WHEN p3 = 'never' AND (p2 IN ('so', 'this') OR p1 IN ('so', 'this'))
+            THEN (vc + ({booster_scalar('r3', 'p3', 'vc')}) * 0.9) * 1.25
+            WHEN p3 = 'without' AND (p2 = 'doubt' OR p1 = 'doubt')
+            THEN vc + ({booster_scalar('r3', 'p3', 'vc')}) * 0.9
+            WHEN {negated('p3')}
+            THEN (vc + ({booster_scalar('r3', 'p3', 'vc')}) * 0.9) * -0.74
+            ELSE vc + ({booster_scalar('r3', 'p3', 'vc')}) * 0.9 END)
+    ELSE vc END AS vd
+  FROM s4
+), s6 AS (
+  SELECT *, CASE WHEN live AND p1 = 'least' AND {lexv('p1')} IS NULL
+                  AND ((i > 2 AND p2 NOT IN ('at', 'very')) OR i = 2)
+                 THEN vd * -0.74 ELSE vd END AS ve
+  FROM s5
+), s7 AS (
+  SELECT *, CASE
+      WHEN bi IS NOT NULL AND i < bi THEN ve * 0.5
+      WHEN bi IS NOT NULL AND i > bi THEN ve * 1.5
+      ELSE ve END AS vf
+  FROM (SELECT *, min(CASE WHEN wl = 'but' THEN i END)
+                    OVER (PARTITION BY doc_id, variant) AS bi
+        FROM s6)
+), agg AS (
+  SELECT doc_id, variant, any_value(sentence) AS sentence,
+         sum(vf) AS sum_s,
+         coalesce(sum(vf + 1) FILTER (vf > 0), 0.0) AS pos_sum,
+         coalesce(sum(vf - 1) FILTER (vf < 0), 0.0) AS neg_sum,
+         count(*) FILTER (vf = 0) AS neu_count
+  FROM s7 GROUP BY doc_id, variant
+), scored AS (
+  SELECT doc_id, variant, sentence,
+    round(adj / sqrt(adj * adj + 15.0), 4) AS s_compound,
+    round(abs((CASE WHEN neg_sum < -pos_sum THEN neg_sum - punct
+                    ELSE neg_sum END) / total), 3) AS s_neg,
+    round(abs(neu_count / total), 3) AS s_neu,
+    round(abs((CASE WHEN pos_sum > -neg_sum THEN pos_sum + punct
+                    ELSE pos_sum END) / total), 3) AS s_pos
+  FROM (
+    SELECT *,
+      (CASE WHEN sum_s > 0 THEN sum_s + punct
+            WHEN sum_s < 0 THEN sum_s - punct ELSE sum_s END) AS adj,
+      ((CASE WHEN pos_sum > -neg_sum THEN pos_sum + punct ELSE pos_sum END)
+       + abs(CASE WHEN neg_sum < -pos_sum THEN neg_sum - punct ELSE neg_sum END)
+       + neu_count) AS total
+    FROM (
+      SELECT *,
+        least(length(sentence) - length(replace(sentence, '!', '')), 4) * 0.292
+        + (CASE WHEN qm > 1 THEN (CASE WHEN qm <= 3 THEN qm * 0.18 ELSE 0.96 END)
+                ELSE 0.0 END) AS punct
+      FROM (SELECT *, length(sentence) - length(replace(sentence, '?', '')) AS qm
+            FROM agg))
+  )
+), words AS (
+  SELECT doc_id, variant, sentence,
+         unnest(regexp_extract_all(sentence, {_sql_str(A.TOKEN_PATTERN)})) AS word
+  FROM sent
+), wscore AS (
+  -- polarity_scores(single word): no neighbors, no caps differential —
+  -- compound = normalize(valence); the sift collapses to a 1.0 indicator
+  SELECT doc_id, variant, sentence, word,
+    CASE WHEN wv < 0 THEN 1.0 ELSE 0.0 END AS w_neg,
+    CASE WHEN wv = 0 THEN 1.0 ELSE 0.0 END AS w_neu,
+    CASE WHEN wv > 0 THEN 1.0 ELSE 0.0 END AS w_pos,
+    round(wv / sqrt(wv * wv + 15.0), 4) AS w_compound
+  FROM (SELECT *,
+          coalesce(CASE WHEN {boostv('lower(word)')} IS NOT NULL THEN 0.0
+                        ELSE {lexv('lower(word)')} END, 0.0) AS wv
+        FROM words)
+)
+SELECT w.doc_id, w.variant, w.word,
+       s.s_neg, s.s_neu, s.s_pos, s.s_compound,
+       s.s_neg * 0.5 + w.w_neg * 0.5 AS b_neg,
+       s.s_neu * 0.5 + w.w_neu * 0.5 AS b_neu,
+       s.s_pos * 0.5 + w.w_pos * 0.5 AS b_pos,
+       s.s_compound * 0.5 + w.w_compound * 0.5 AS b_compound
+FROM wscore w JOIN scored s USING (doc_id, variant)
+"""
+
+
 def q_most_similar_token(spark, sf_dir):
     freq = A.word_freq(_docs_text(spark, sf_dir), text_col="text")
     return most_similar(freq, "token", "sparkle")
@@ -2826,6 +3076,7 @@ def queries() -> dict:
         #    stays the native regex spec; see q_word_freq_treebank) --
         "stream_sessionize_replay": q_stream_sessionize_replay,
         "word_freq_treebank": q_word_freq_treebank,
+        "sentence_sentiment": q_sentence_sentiment,
         # -- r3-green, kept in-window to fill to 50 --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -2890,6 +3141,7 @@ def oracle_sql() -> dict:
         "extract_categories": ORACLE_CATEGORIES,
         "word_freq": ORACLE_WORD_FREQ,
         "word_freq_treebank": _oracle_word_freq_treebank(),
+        "sentence_sentiment": _oracle_sentence_sentiment(),
         "argmax_freq": ORACLE_ARGMAX_FREQ,
         "bigram_collocations": ORACLE_BIGRAMS,
         "trigram_collocations": _oracle_trigrams(),

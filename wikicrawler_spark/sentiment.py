@@ -20,6 +20,8 @@ Scoring runs as ONE vectorized pandas UDF; the 50/50 blend is native
 arithmetic on struct fields (A10), not Python.
 """
 
+import os
+
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -32,7 +34,24 @@ _EXTRA_LEXICON = {
     "giant": 0.5, "dark": -0.7, "dead": -2.9, "collapse": -1.6,
     "failed": -2.0, "catastrophic": -2.2,
 }
-_FULL_LEXICON = {**_vader.LEXICON, **_EXTRA_LEXICON}
+
+# Optional full published lexicon: point WCS_VADER_LEXICON at a
+# vader_lexicon.txt (the 7.5k-entry MIT data file the runtime doesn't
+# ship) and the vendored algorithm runs with full coverage. Published
+# values take precedence over the engine-pinned extras.
+_ENV_LEXICON: dict = {}
+_env_path = os.environ.get("WCS_VADER_LEXICON")
+if _env_path and os.path.exists(_env_path):  # pragma: no cover - env hook
+    try:
+        _ENV_LEXICON = _vader.load_lexicon_file(_env_path)
+    except OSError:
+        _ENV_LEXICON = {}
+_FULL_LEXICON = {**_vader.LEXICON, **_EXTRA_LEXICON, **_ENV_LEXICON}
+
+#: The deterministic lexicon the driver-gate row scores with: vendored
+#: subset + pinned extras ONLY — never the env overlay and never nltk, so
+#: the sentence_sentiment oracle replays identically on any host.
+PINNED_LEXICON = {**_vader.LEXICON, **_EXTRA_LEXICON}
 
 SENTIMENT_STRUCT = T.StructType([
     T.StructField("neg", T.DoubleType()),
@@ -62,27 +81,40 @@ def sentiment_udf(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["neg", "neu", "pos", "compound"])
 
 
+@F.pandas_udf(SENTIMENT_STRUCT)
+def pinned_sentiment_udf(texts: pd.Series) -> pd.DataFrame:
+    """Vendored algorithm + PINNED_LEXICON, regardless of nltk presence or
+    the WCS_VADER_LEXICON overlay — the host-independent scoring path the
+    sentence_sentiment driver row (and its DuckDB oracle) is built on."""
+    rows = [_vader.polarity_scores(t or "", PINNED_LEXICON) for t in texts]
+    return pd.DataFrame(rows, columns=["neg", "neu", "pos", "compound"])
+
+
 def sentence_sentiment(df: DataFrame, sentence_col: str = "sentence") -> DataFrame:
     """A9: per-sentence polarity struct."""
     return df.withColumn("sent_score", sentiment_udf(F.col(sentence_col)))
 
 
 def blended_word_sentiment(sent_df: DataFrame, sentence_col: str = "sentence",
-                           scale: float = 0.5) -> DataFrame:
+                           scale: float = 0.5,
+                           score_udf=None) -> DataFrame:
     """A9+A10: explode each sentence into word rows; blend sentence score
     with word score per key: scale*sent + (1-scale)*word (dict_add.py:4).
     The blend is native struct arithmetic — only the two scorings cross
-    into Python (Arrow-batched)."""
+    into Python (Arrow-batched). ``score_udf`` overrides the scorer (e.g.
+    pinned_sentiment_udf for the deterministic driver row)."""
     from .analytics import TOKEN_PATTERN
 
+    if score_udf is None:
+        score_udf = sentiment_udf
     words = (
-        sent_df.withColumn("sent_score", sentiment_udf(F.col(sentence_col)))
+        sent_df.withColumn("sent_score", score_udf(F.col(sentence_col)))
         .withColumn(
             "word",
             F.explode(F.regexp_extract_all(F.col(sentence_col),
                                            F.lit(TOKEN_PATTERN), F.lit(0))),
         )
-        .withColumn("word_score", sentiment_udf(F.col("word")))
+        .withColumn("word_score", score_udf(F.col("word")))
     )
     blend = F.struct(
         *[

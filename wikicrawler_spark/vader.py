@@ -293,6 +293,25 @@ def _score_valence(sentiments: list[float], text: str) -> dict:
             "pos": round(pos, 3), "compound": round(compound, 4)}
 
 
+def load_lexicon_file(path: str) -> dict:
+    """Parse the published ``vader_lexicon.txt`` format (MIT; tab-separated
+    ``token<TAB>mean_valence<TAB>std<TAB>raw_ratings``) into a lexicon dict
+    usable with ``polarity_scores(text, lexicon)``. The 7.5k-entry file is
+    data this runtime does not ship; drop it anywhere and point
+    ``WCS_VADER_LEXICON`` at it (sentiment.py picks it up at import) to run
+    the vendored algorithm with full published coverage."""
+    lex: dict[str, float] = {}
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) >= 2 and parts[0].strip():
+                try:
+                    lex[parts[0]] = float(parts[1])
+                except ValueError:
+                    continue
+    return lex
+
+
 def polarity_scores(text: str, lexicon: dict | None = None) -> dict:
     """VADER polarity for one sentence: {neg, neu, pos, compound}."""
     lex = LEXICON if lexicon is None else lexicon
