@@ -500,6 +500,29 @@ def test_pii_scrub_planted(spark):
     assert out["d4"]["n_email"] == 2
 
 
+def test_pii_counts_equal_placeholders_in_output(spark):
+    """VERDICT r4 #8: counts audit what was actually redacted. The
+    phone-shaped local part of an email is consumed by the earlier email
+    pass, so it must count as email only — for every doc,
+    n_<kind> == occurrences of <KIND> in the scrubbed output."""
+    rows = [
+        ("d1", "overlap 555-123-4567@x.io and a real 555-123-4567 call"),
+        ("d2", "jo@ex.io then 10.0.0.1 then 555-123-4567"),
+        ("d3", "user@10.0.0.1 mixed"),  # IP-host: not an email match
+        ("d4", "no pii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in Q.pii_scrub(df).collect()}
+    for d, r in out.items():
+        for kind in ("email", "phone", "ipv4"):
+            assert r[f"n_{kind}"] == r["scrubbed"].count(f"<{kind.upper()}>"), \
+                (d, kind, r)
+    assert out["d1"]["scrubbed"] == "overlap <EMAIL> and a real <PHONE> call"
+    assert (out["d1"]["n_email"], out["d1"]["n_phone"]) == (1, 1)
+    assert out["d3"]["scrubbed"] == "user@<IPV4> mixed"
+    assert (out["d3"]["n_email"], out["d3"]["n_ipv4"]) == (0, 1)
+
+
 def test_chunk_documents_planted(spark):
     toks = [f"t{i}" for i in range(30)]
     rows = [

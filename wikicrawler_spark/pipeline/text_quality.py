@@ -306,17 +306,21 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     shuffles, streams at any scale). Pass order is email, phone, ipv4 and
     the oracle replays the same order; note the email pattern requires an
     ALPHABETIC tld, so an IP-host address like user@10.0.0.1 is NOT an
-    email match — its IP leg scrubs to "user@<IPV4>" (ADVICE r3). Counts
-    are per-pattern matches against the ORIGINAL text, computed
-    independently of the sequential scrub — overlapping hits (e.g.
-    "555-123-4567@x.io") count under every pattern they match even though
-    the scrub consumes them once, earliest pass first."""
-    counts = [
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
-        .alias(f"n_{k}") for k, p in PII_PATTERNS.items()
-    ]
+    email match — its IP leg scrubs to "user@<IPV4>" (ADVICE r3).
+
+    Counts AUDIT the redaction (VERDICT r4 #8): each pattern is counted
+    against the PROGRESSIVELY-scrubbed text its replace pass actually ran
+    on, so n_<kind> equals the number of <KIND> placeholders inserted —
+    an overlapping hit (e.g. the phone-shaped local part of
+    "555-123-4567@x.io") is consumed by the earliest pass and counted
+    exactly once. Placeholder tokens contain no digits, so a pass can
+    never create matches for a later pattern."""
+    counts = []
     scrubbed = F.col(text_col)
     for k, p in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(p), F.lit(0)))
+            .alias(f"n_{k}"))
         scrubbed = F.regexp_replace(scrubbed, p, f"<{k.upper()}>")
     return df.select("doc_id", scrubbed.alias("scrubbed"), *counts)
 

@@ -2352,15 +2352,21 @@ def q_pii_scrub(spark, sf_dir):
 def _oracle_pii() -> str:
     e, p, i = (Q.PII_PATTERNS["email"], Q.PII_PATTERNS["phone"],
                Q.PII_PATTERNS["ipv4"])
+    # counts audit the redaction: pattern k counts against the text its
+    # replace pass ran on (after earlier passes), so n_<kind> == number of
+    # <KIND> placeholders in `scrubbed` (VERDICT r4 #8)
     return f"""
-SELECT doc_id::VARCHAR AS doc_id,
-       regexp_replace(regexp_replace(regexp_replace(text,
-           '{e}', '<EMAIL>', 'g'), '{p}', '<PHONE>', 'g'),
-           '{i}', '<IPV4>', 'g') AS scrubbed,
-       len(regexp_extract_all(text, '{e}'))::INT AS n_email,
-       len(regexp_extract_all(text, '{p}'))::INT AS n_phone,
+WITH t0 AS (SELECT doc_id::VARCHAR AS doc_id, text FROM documents),
+t1 AS (SELECT doc_id, len(regexp_extract_all(text, '{e}'))::INT AS n_email,
+              regexp_replace(text, '{e}', '<EMAIL>', 'g') AS text FROM t0),
+t2 AS (SELECT doc_id, n_email,
+              len(regexp_extract_all(text, '{p}'))::INT AS n_phone,
+              regexp_replace(text, '{p}', '<PHONE>', 'g') AS text FROM t1)
+SELECT doc_id,
+       regexp_replace(text, '{i}', '<IPV4>', 'g') AS scrubbed,
+       n_email, n_phone,
        len(regexp_extract_all(text, '{i}'))::INT AS n_ipv4
-FROM documents
+FROM t2
 """
 
 
