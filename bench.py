@@ -371,6 +371,7 @@ def main() -> None:
         per_query["crawl_6waves"] = dt
         crawl_stats = {"secs": dt, "visited": n_visited,
                        "waves": res.waves, "wave_sizes": res.wave_sizes,
+                       "wave_stages": res.wave_stages,
                        "docs": BENCH_DOCS, "seeds": seeds}
         shutil.rmtree(ck, ignore_errors=True)
     except Exception as e:  # noqa: BLE001

@@ -114,6 +114,44 @@ ADVERSARIAL = [
     },
 ]
 
+#: Sentence-boundary fixtures for the punktish heuristic (VERDICT r4 #7):
+#: each pins the expected punkt segmentation for a construct class the
+#: heuristic claims to cover. Only constructs with well-established punkt
+#: behavior are pinned; with nltk importable the script verifies every pin
+#: live AND measures corpus-level agreement over all bodies.
+SENT_FIXTURES = [
+    ("Dr. Smith went to Washington. He arrived at 5 p.m. sharp!",
+     "title abbreviation + dotted acronym",
+     ["Dr. Smith went to Washington.", "He arrived at 5 p.m. sharp!"]),
+    ("J. K. Rowling wrote it. She lives abroad.",
+     "single-letter initials",
+     ["J. K. Rowling wrote it.", "She lives abroad."]),
+    ("Mr. Brown met Mrs. Green. They talked.",
+     "consecutive title abbreviations",
+     ["Mr. Brown met Mrs. Green.", "They talked."]),
+    ("Pi is 3.14. Next topic.",
+     "decimal at a true boundary",
+     ["Pi is 3.14.", "Next topic."]),
+    ('He said "stop." Then silence.',
+     "closing quote after the period stays with its sentence",
+     ['He said "stop."', "Then silence."]),
+    ("Apples, pears, etc. are fruits.",
+     "abbreviation + lowercase continuation: no split",
+     ["Apples, pears, etc. are fruits."]),
+    ("Kramer vs. Kramer is a film. It won awards.",
+     "'vs.' abbreviation mid-sentence",
+     ["Kramer vs. Kramer is a film.", "It won awards."]),
+    ("Really?! Yes. Sure thing.",
+     "multi-mark terminators",
+     ["Really?!", "Yes.", "Sure thing."]),
+    ("It works, i.e. the test passes.",
+     "dotted latinism + lowercase continuation: no split",
+     ["It works, i.e. the test passes."]),
+    ("See no. 5 for details. Next item.",
+     "'no.' + digit: suppressed, then a true boundary",
+     ["See no. 5 for details.", "Next item."]),
+]
+
 FAMILIES = ("basic_article", "media_interleaved", "sections",
             "see_also_refs", "disambig", "latex_math", "wikitable",
             "boilerplate", "edge_cases")
@@ -211,6 +249,58 @@ def main() -> int:
                      "and must agree exactly; the gated pytest "
                      "(test_regex_nltk_fixture_parity) asserts this when "
                      "run in an nltk-capable environment.")
+    lines.append("")
+    lines.append("## Punkt sentence-boundary agreement (A2 residual, r5)")
+    lines.append("")
+    lines.append("The vendored `punktish_sentence_split` is the ONLY "
+                 "non-exact step left in the A2/A3 chain (punkt is a "
+                 "trained model). Its coverage is measured two ways:")
+    lines.append("")
+    n_sf_ok = 0
+    sf_diffs = []
+    for text, why, exp in SENT_FIXTURES:
+        got = punktish_sentence_split(text)
+        if got == exp:
+            n_sf_ok += 1
+        else:
+            sf_diffs.append((why, text, got, exp))
+    lines.append(f"1. **Construct fixtures** ({len(SENT_FIXTURES)} pinned "
+                 f"punkt segmentations — titles/initials/acronyms/decimals/"
+                 f"quotes/latinisms/multi-mark/no.+digit): punktish matches "
+                 f"**{n_sf_ok}/{len(SENT_FIXTURES)}**."
+                 + (" Divergences:" if sf_diffs else ""))
+    for why, text, got, exp in sf_diffs:
+        lines.append(f"   - [{why}] `{text}` → punktish={got} punkt={exp}")
+    if has_nltk:
+        n_pk_eq = 0
+        pk_diffs = []
+        for doc_id, body in bodies:
+            ps = punktish_sentence_split(body)
+            ns = sent_tokenize(body) if body else []
+            if ps == ns:
+                n_pk_eq += 1
+            else:
+                pk_diffs.append((doc_id, ps, ns))
+        for text, why, exp in SENT_FIXTURES:
+            live = sent_tokenize(text)
+            if live != exp:
+                lines.append(f"   - PIN MISMATCH vs live punkt: `{text}` "
+                             f"live={live} pinned={exp}")
+        lines.append(f"2. **Corpus-level** (all {len(bodies)} bodies): "
+                     f"punktish == punkt on **{n_pk_eq}/{len(bodies)}** "
+                     f"({n_pk_eq / max(len(bodies), 1):.1%}); first diffs:")
+        for d in pk_diffs[:5]:
+            lines.append(f"   - {d[0]}: punktish={d[1][:3]}... punkt={d[2][:3]}...")
+    else:
+        lines.append("2. **Corpus-level** (punktish vs live punkt over all "
+                     f"{len(bodies)} bodies): UNMEASURABLE in this runtime "
+                     "(nltk/punkt absent); the measurement runs "
+                     "automatically from this script on any nltk-capable "
+                     "host, and the construct-fixture set above pins the "
+                     "divergence classes in the meantime. Note the corpus "
+                     "bodies carry no abbreviations/contractions, so both "
+                     "splitters reduce to the same terminal-punctuation "
+                     "rule there — the fixtures are the discriminating set.")
     lines.append("")
     lines.append("## Adversarial corpus (where the specs genuinely differ)")
     lines.append("")

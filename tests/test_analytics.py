@@ -593,3 +593,23 @@ def test_pinned_sentiment_lexicon_ignores_env_overlay():
     from wikicrawler_spark.sentiment import PINNED_LEXICON, _EXTRA_LEXICON
 
     assert PINNED_LEXICON == {**vader.LEXICON, **_EXTRA_LEXICON}
+
+
+def test_punktish_sentence_fixtures():
+    """r5 (VERDICT r4 #7): the punktish splitter must keep matching every
+    pinned punkt segmentation in the construct-fixture set (the
+    discriminating corpus for the A2 residual; corpus-level agreement vs
+    live punkt is measured by scripts/nltk_parity_report.py on
+    nltk-capable hosts)."""
+    import os
+    import importlib.util as _ilu
+    spec = _ilu.spec_from_file_location(
+        "nltk_parity_report",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "scripts", "nltk_parity_report.py"))
+    mod = _ilu.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from wikicrawler_spark.treebank import punktish_sentence_split
+    for text, why, exp in mod.SENT_FIXTURES:
+        assert punktish_sentence_split(text) == exp, (why, text)

@@ -56,6 +56,11 @@ class CrawlResult:
     lineage: DataFrame | None
     metrics: DataFrame | None
     wave_sizes: list = field(default_factory=list)
+    #: per-wave stage walls (seconds), one dict per wave run here:
+    #: count / spans(kernel+write) / bloom / lineage / metrics /
+    #: frontier(links+anti-join+write) / visited(write) — the crawl's own
+    #: cost breakdown, so checkpoint tax vs compute is measurable per run
+    wave_stages: list = field(default_factory=list)
 
 
 def _wave_dir(ckpt_dir: str, wave: int, name: str) -> str:
@@ -118,6 +123,7 @@ def crawl(
     keep_spans: bool = True,
     latex: bool = False,
     visited_buckets: int | None = None,
+    async_aux: bool = True,
 ) -> CrawlResult:
     """Run the frontier BFS from ``seeds`` over the ``docs`` table.
 
@@ -132,6 +138,7 @@ def crawl(
     lineage_parts: list[DataFrame] = []
     metrics_parts: list[DataFrame] = []
     wave_sizes: list[int] = []
+    wave_stages: list[dict] = []
 
     n_visited_start = 0
     if resume and ckpt_dir is not None and (lw := last_complete_wave(ckpt_dir)) >= 0:
@@ -170,9 +177,27 @@ def crawl(
                                  n_bits=bloom.n_bits, k=bloom.k)
             bloom.merge(seeded)
 
+    # aux writer pool: lineage/metrics appends run as concurrent Spark
+    # jobs (scheduler-safe); joined in the finally below
+    from concurrent.futures import ThreadPoolExecutor
+
+    aux_pool = ThreadPoolExecutor(max_workers=2,
+                                  thread_name_prefix="wcs-crawl-aux")
+    aux_futures: list = []
+
     for wave in range(start_wave, max_waves):
         t0 = time.monotonic()
+        stages: dict = {}
+        _t = t0
+
+        def _mark(name: str) -> None:
+            nonlocal _t
+            now = time.monotonic()
+            stages[name] = round(now - _t, 3)
+            _t = now
+
         n_frontier = frontier.count()
+        _mark("count")
         if n_frontier == 0:
             break
         wave_sizes.append(n_frontier)
@@ -193,6 +218,7 @@ def crawl(
             # materialize the kernel output once — links_of, metrics and the
             # returned union all reuse it instead of re-running extraction
             spans = spans.localCheckpoint(eager=True)
+        _mark("spans")
         if keep_spans:
             spans_parts.append(spans)
 
@@ -209,6 +235,7 @@ def crawl(
             # OR in just this wave's frontier ids (distributed partial build)
             bloom.merge(build_bloom(frontier, "doc_id", 1, bloom_fpr,
                                     n_bits=bloom.n_bits, k=bloom.k))
+        _mark("bloom")
         nxt = anti_join_visited(candidates, visited_now, bloom=bloom, spark=spark)
         if per_wave_limit is not None:
             nxt = nxt.orderBy("doc_id").limit(per_wave_limit)
@@ -229,15 +256,28 @@ def crawl(
         )
 
         if ckpt_dir is not None:
-            # per-wave snapshot commit; lineage/metrics first, then the
-            # (next_frontier, visited) pair whose joint _SUCCESS marks the
-            # wave complete for resume
-            lineage.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "lineage"))
-            lineage = spark.read.parquet(_wave_dir(ckpt_dir, wave, "lineage"))
-            metrics.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "metrics"))
-            metrics = spark.read.parquet(_wave_dir(ckpt_dir, wave, "metrics"))
+            # Per-wave snapshot commit. lineage/metrics are observability
+            # metadata — NOT needed for resume correctness (resume's
+            # authoritative state is the synchronous (next_frontier,
+            # visited) _SUCCESS pair; their recovery is already
+            # best-effort per `_is_complete`) and both derive from parquet
+            # already committed (frontier: previous wave; spans: above).
+            # Writing them inline cost ~0.5 s of serial job overhead each
+            # per wave (measured r5, BENCH/BASELINE.md crawl breakdown), so
+            # they append ASYNCHRONOUSLY on the aux pool; futures join
+            # before the crawl returns, failures re-raise there (r4 ask #6).
+            for name, df in (("lineage", lineage), ("metrics", metrics)):
+                if async_aux:
+                    aux_futures.append(aux_pool.submit(
+                        lambda d=df, p=_wave_dir(ckpt_dir, wave, name):
+                        d.write.mode("overwrite").parquet(p)))
+                else:
+                    df.write.mode("overwrite").parquet(
+                        _wave_dir(ckpt_dir, wave, name))
+            _mark("aux" if async_aux else "aux_inline")
             nxt.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
             nxt = spark.read.parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
+            _mark("frontier")
             if visited_buckets:
                 # bucketed-by-doc_id visited table: the NEXT wave's exact
                 # anti-join co-locates on the visited side (no exchange on
@@ -256,15 +296,27 @@ def crawl(
             else:
                 new_visited.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "visited"))
                 new_visited = spark.read.parquet(_wave_dir(ckpt_dir, wave, "visited"))
+            _mark("visited")
         else:
             # keep plans bounded without a checkpoint dir
             nxt = nxt.localCheckpoint(eager=True)
+            _mark("frontier")
             new_visited = new_visited.localCheckpoint(eager=True)
+            _mark("visited")
 
+        stages["wave"] = wave
+        stages["total"] = round(time.monotonic() - t0, 3)
+        wave_stages.append(stages)
         lineage_parts.append(lineage)
         metrics_parts.append(metrics)
         visited = new_visited
         frontier = nxt
+
+    # drain aux writers: all lineage/metrics snapshots are durable before
+    # the crawl returns; a failed aux write re-raises here
+    aux_pool.shutdown(wait=True)
+    for f in aux_futures:
+        f.result()
 
     def _union(parts: list[DataFrame]) -> DataFrame | None:
         if not parts:
@@ -285,4 +337,5 @@ def crawl(
         lineage=_union(lineage_parts) or spark.createDataFrame([], LINEAGE_SCHEMA),
         metrics=_union(metrics_parts),
         wave_sizes=wave_sizes,
+        wave_stages=wave_stages,
     )

@@ -3024,10 +3024,13 @@ def queries() -> dict:
     # registry entries, so the window rotates each round by a staleness
     # rule (tests/test_entry_contract.py + scripts/dep_fingerprint.py):
     # any query whose dependency fingerprint changed since its last green
-    # driver round must sit inside the window. Round-4 window = the 14
-    # queries whose last driver row (r2) predates round 3's kernel/
-    # tokenizer changes, plus everything round 4 touches; the tail holds
-    # r3-green rows whose transitive deps are untouched this round.
+    # driver round must sit inside the window, and (r5 age bound) any tail
+    # query not driver-checked within 2 rounds rotates in regardless.
+    # Round-5 window = round 4's window minus three stable relational rows
+    # (rotated to the tail, r4-green, deps untouched) plus the three new
+    # r5 rows: stream_sessionize_replay, word_freq_treebank,
+    # sentence_sentiment; pii_scrub stays in-window (count semantics
+    # changed this round).
     return {
         # -- stale since r2: last driver check predates the r3 kernel memo
         #    (container-fragment memo + whitespace parity, commit 74b1fa3) --
@@ -3041,9 +3044,6 @@ def queries() -> dict:
         "extract_see_also": q_extract_see_also,
         "extract_references": q_extract_references,
         "extract_categories": q_extract_categories,
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "orders_by_nation": q_orders_by_nation,
-        "upsert_latest": q_upsert_latest,
         "validate_doc_ids": q_validate_doc_ids,
         # -- changed in round 4 (repetition one-pass plan, training_corpus
         #    explicit materialization boundary, latexconv nested matrices,
@@ -3104,6 +3104,12 @@ def queries() -> dict:
         #    rotated out to make window room for the seven new r4
         #    queries: three media + rollup + window-deltas + the two
         #    disambig/search link extractions) --
+        # -- r4-green, deps untouched in r5: rotated out to make window
+        #    room for the three new r5 rows (stream replay, treebank
+        #    parity, sentence sentiment) --
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "orders_by_nation": q_orders_by_nation,
+        "upsert_latest": q_upsert_latest,
         "tpch_q1": q_tpch_q1,
         "pagerank_orders": q_pagerank,
         "dedup_exact_prefix": q_dedup_exact_prefix,
