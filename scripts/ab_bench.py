@@ -68,13 +68,25 @@ def main() -> None:
     samples: dict = {n: {"A": [], "B": []} for n in names}
     rows: dict = {n: {} for n in names}
 
-    # untimed warm pass (scan caching, JVM warmup) — hits both variants
+    # untimed warm pass (scan caching, JVM warmup) — hits both variants.
+    # The equality check hashes CONTENT (count alone can certify a
+    # value-changing regression as "equal"): order-insensitive md5 over
+    # every row's repr, computed distributed (no driver collect).
+    def _content_hash(df) -> str:
+        from pyspark.sql import functions as F
+        h = df.select(F.md5(F.to_json(F.struct(*sorted(df.columns))))
+                      .alias("h"))
+        agg = h.agg(F.count("*").alias("n"),
+                    F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))),
+                           256).alias("digest")).collect()[0]
+        return f"{agg['n']}:{agg['digest']}"
+
     for tag in ("A", "B"):
         _, reg, snap = variants[tag]
         _install(snap)
         for n in names:
             run_noop(reg[n](spark, sf_dir))
-            rows[n][tag] = reg[n](spark, sf_dir).count()
+            rows[n][tag] = _content_hash(reg[n](spark, sf_dir))
 
     for r in range(rounds):
         order = ("A", "B") if r % 2 == 0 else ("B", "A")
@@ -96,9 +108,10 @@ def main() -> None:
         out["queries"][n] = {"A": samples[n]["A"], "B": samples[n]["B"],
                              "A_best": ba, "B_best": bb,
                              "ratio": round(bb / ba, 3),
-                             "rows": rows[n], "rows_equal": eq}
+                             "content_hash": rows[n], "rows_equal": eq}
+        n_rows = rows[n]["A"].split(":", 1)[0]
         print(f"| {n} | {ba:.2f} s | {bb:.2f} s | {bb/ba:.2f} | "
-              f"{'yes' if eq else 'NO'} ({rows[n]['A']}) |")
+              f"{'yes' if eq else 'NO'} ({n_rows} rows) |")
     print()
     print(json.dumps(out))
     spark.stop()

@@ -32,7 +32,7 @@ from wikicrawler_spark.analytics import TOKEN_PATTERN
 from wikicrawler_spark.sentiment import PINNED_LEXICON
 from wikicrawler_spark import corpus, vader
 
-TOK = re.compile(TOKEN_PATTERN.replace("\\\\s", "\\s"))
+TOK = re.compile(TOKEN_PATTERN)  # analytics' pattern is already a py regex
 
 
 def coverage(name: str, tokens: list[str]) -> dict:

@@ -6,6 +6,7 @@ must match.
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -159,20 +160,23 @@ def test_fingerprints_stable_across_hash_seeds():
     per-process hash-randomized iteration order, so fingerprints computed
     in different processes could spuriously differ, breaking the rotation
     rule. _const_repr canonicalizes set-bearing values; this pins the fix
-    by fingerprinting a set-bearing query (extract_paragraphs reaches
-    kernel's anchor-class frozensets) under two different PYTHONHASHSEEDs.
+    by comparing the FULL fingerprint dict under two different
+    PYTHONHASHSEEDs (r5: a single hand-picked query missed a leak through
+    module-level strings BUILT from set iteration — queries._TB_ABBR_ALT —
+    which the whole-dict comparison catches for every query at once).
     """
     import subprocess
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    code = ("import sys; sys.path.insert(0, %r); "
-            "from scripts.dep_fingerprint import query_fingerprint; "
-            "print(query_fingerprint('extract_paragraphs'))" % repo)
+    code = ("import sys, json; sys.path.insert(0, %r); "
+            "from scripts.dep_fingerprint import all_fingerprints; "
+            "print(json.dumps(all_fingerprints(), sort_keys=True))" % repo)
     outs = []
     for seed in ("1", "2"):
         env = dict(os.environ, PYTHONHASHSEED=seed)
         r = subprocess.run([sys.executable, "-c", code], env=env,
                            capture_output=True, text=True, cwd=repo)
         assert r.returncode == 0, r.stderr
-        outs.append(r.stdout.strip())
-    assert outs[0] == outs[1], f"fingerprint differs across seeds: {outs}"
+        outs.append(json.loads(r.stdout.strip().splitlines()[-1]))
+    diff = {k for k in outs[0] if outs[0][k] != outs[1].get(k)}
+    assert not diff, f"fingerprints differ across seeds for: {sorted(diff)}"

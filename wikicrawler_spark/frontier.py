@@ -57,9 +57,14 @@ class CrawlResult:
     metrics: DataFrame | None
     wave_sizes: list = field(default_factory=list)
     #: per-wave stage walls (seconds), one dict per wave run here:
-    #: count / spans(kernel+write) / bloom / lineage / metrics /
-    #: frontier(links+anti-join+write) / visited(write) — the crawl's own
-    #: cost breakdown, so checkpoint tax vs compute is measurable per run
+    #: count / spans(kernel+write) / bloom / frontier(links+anti-join+write)
+    #: / visited(write), plus the lineage+metrics checkpoint tax as either
+    #: separate 'lineage' and 'metrics' walls (async_aux=False — the strict
+    #: inline-audit mode BENCH/BASELINE.md's breakdown table was measured
+    #: in) or a single near-zero 'aux_submit' wall (async_aux=True — the
+    #: writes run on the aux pool, joined before crawl() returns) — the
+    #: crawl's own cost breakdown, so checkpoint tax vs compute is
+    #: measurable per run
     wave_stages: list = field(default_factory=list)
 
 
@@ -178,145 +183,172 @@ def crawl(
             bloom.merge(seeded)
 
     # aux writer pool: lineage/metrics appends run as concurrent Spark
-    # jobs (scheduler-safe); joined in the finally below
+    # jobs (scheduler-safe); drained in the finally below so a wave-loop
+    # exception never leaves writes racing the caller's teardown, and
+    # joined on the success path where a failed aux write re-raises
     from concurrent.futures import ThreadPoolExecutor
 
     aux_pool = ThreadPoolExecutor(max_workers=2,
                                   thread_name_prefix="wcs-crawl-aux")
     aux_futures: list = []
+    aux_waves: list[int] = []  # waves whose lineage/metrics went to ckpt
 
-    for wave in range(start_wave, max_waves):
-        t0 = time.monotonic()
-        stages: dict = {}
-        _t = t0
+    try:
+        for wave in range(start_wave, max_waves):
+            t0 = time.monotonic()
+            stages: dict = {}
+            _t = t0
 
-        def _mark(name: str) -> None:
-            nonlocal _t
-            now = time.monotonic()
-            stages[name] = round(now - _t, 3)
-            _t = now
+            def _mark(name: str) -> None:
+                nonlocal _t
+                now = time.monotonic()
+                stages[name] = round(now - _t, 3)
+                _t = now
 
-        n_frontier = frontier.count()
-        _mark("count")
-        if n_frontier == 0:
-            break
-        wave_sizes.append(n_frontier)
+            n_frontier = frontier.count()
+            _mark("count")
+            if n_frontier == 0:
+                break
+            wave_sizes.append(n_frontier)
 
-        f_ids = frontier.select("doc_id").dropDuplicates()
-        join_side = F.broadcast(f_ids) if n_frontier <= broadcast_threshold else f_ids
-        wave_docs = docs.join(join_side, "doc_id")
-        if num_partitions:
-            wave_docs = salted_repartition(wave_docs, num_partitions, salt=wave)
+            f_ids = frontier.select("doc_id").dropDuplicates()
+            join_side = F.broadcast(f_ids) if n_frontier <= broadcast_threshold else f_ids
+            wave_docs = docs.join(join_side, "doc_id")
+            if num_partitions:
+                wave_docs = salted_repartition(wave_docs, num_partitions, salt=wave)
 
-        spans = run_extract(spark, wave_docs)
+            spans = run_extract(spark, wave_docs)
 
-        if ckpt_dir is not None:
-            spans_path = _wave_dir(ckpt_dir, wave, "spans")
-            spans.write.mode("overwrite").parquet(spans_path)
-            spans = spark.read.parquet(spans_path)
-        else:
-            # materialize the kernel output once — links_of, metrics and the
-            # returned union all reuse it instead of re-running extraction
-            spans = spans.localCheckpoint(eager=True)
-        _mark("spans")
-        if keep_spans:
-            spans_parts.append(spans)
-
-        # next frontier: extracted wikilinks, deduped, minus visited ∪ current
-        links = links_of(spans)  # (src_doc_id, dst_doc_id)
-        candidates = (
-            links.groupBy("dst_doc_id")
-            .agg(F.min("src_doc_id").alias("parent_doc_id"))  # deterministic parent
-            .withColumnRenamed("dst_doc_id", "doc_id")
-        )
-        visited_now = visited.select("doc_id").unionByName(frontier.select("doc_id"))
-
-        if bloom is not None:
-            # OR in just this wave's frontier ids (distributed partial build)
-            bloom.merge(build_bloom(frontier, "doc_id", 1, bloom_fpr,
-                                    n_bits=bloom.n_bits, k=bloom.k))
-        _mark("bloom")
-        nxt = anti_join_visited(candidates, visited_now, bloom=bloom, spark=spark)
-        if per_wave_limit is not None:
-            nxt = nxt.orderBy("doc_id").limit(per_wave_limit)
-
-        wall_ms = int((time.monotonic() - t0) * 1000)
-
-        lineage = frontier.select(
-            F.lit(wave).cast("int").alias("wave"),
-            "doc_id",
-            "parent_doc_id",
-            F.spark_partition_id().cast("int").alias("partition_id"),
-            F.current_timestamp().alias("ts"),
-        )
-        metrics = partition_metrics(spans, wave, wall_ms)
-
-        new_visited = visited.unionByName(
-            frontier.select("doc_id", F.lit(wave).cast("int").alias("wave"))
-        )
-
-        if ckpt_dir is not None:
-            # Per-wave snapshot commit. lineage/metrics are observability
-            # metadata — NOT needed for resume correctness (resume's
-            # authoritative state is the synchronous (next_frontier,
-            # visited) _SUCCESS pair; their recovery is already
-            # best-effort per `_is_complete`) and both derive from parquet
-            # already committed (frontier: previous wave; spans: above).
-            # Writing them inline cost ~0.5 s of serial job overhead each
-            # per wave (measured r5, BENCH/BASELINE.md crawl breakdown), so
-            # they append ASYNCHRONOUSLY on the aux pool; futures join
-            # before the crawl returns, failures re-raise there (r4 ask #6).
-            for name, df in (("lineage", lineage), ("metrics", metrics)):
-                if async_aux:
-                    aux_futures.append(aux_pool.submit(
-                        lambda d=df, p=_wave_dir(ckpt_dir, wave, name):
-                        d.write.mode("overwrite").parquet(p)))
-                else:
-                    df.write.mode("overwrite").parquet(
-                        _wave_dir(ckpt_dir, wave, name))
-            _mark("aux" if async_aux else "aux_inline")
-            nxt.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
-            nxt = spark.read.parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
-            _mark("frontier")
-            if visited_buckets:
-                # bucketed-by-doc_id visited table: the NEXT wave's exact
-                # anti-join co-locates on the visited side (no exchange on
-                # the table that grows without bound; only the tiny
-                # maybe_seen probe shuffles into the bucket layout). In
-                # production this is an Iceberg table with a bucket(doc_id)
-                # partition transform — there the layout survives sessions;
-                # parquet bucketing metadata lives in the session catalog,
-                # so a RESUME in a fresh session reads the same files as
-                # plain parquet (correct, just unbucketed until rewritten).
-                new_visited = _write_visited_bucketed(
-                    spark, new_visited,
-                    _wave_dir(ckpt_dir, wave, "visited"),
-                    visited_buckets, wave,
-                )
+            if ckpt_dir is not None:
+                spans_path = _wave_dir(ckpt_dir, wave, "spans")
+                spans.write.mode("overwrite").parquet(spans_path)
+                spans = spark.read.parquet(spans_path)
             else:
-                new_visited.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "visited"))
-                new_visited = spark.read.parquet(_wave_dir(ckpt_dir, wave, "visited"))
-            _mark("visited")
-        else:
-            # keep plans bounded without a checkpoint dir
-            nxt = nxt.localCheckpoint(eager=True)
-            _mark("frontier")
-            new_visited = new_visited.localCheckpoint(eager=True)
-            _mark("visited")
+                # materialize the kernel output once — links_of, metrics and the
+                # returned union all reuse it instead of re-running extraction
+                spans = spans.localCheckpoint(eager=True)
+            _mark("spans")
+            if keep_spans:
+                spans_parts.append(spans)
 
-        stages["wave"] = wave
-        stages["total"] = round(time.monotonic() - t0, 3)
-        wave_stages.append(stages)
-        lineage_parts.append(lineage)
-        metrics_parts.append(metrics)
-        visited = new_visited
-        frontier = nxt
+            # next frontier: extracted wikilinks, deduped, minus visited ∪ current
+            links = links_of(spans)  # (src_doc_id, dst_doc_id)
+            candidates = (
+                links.groupBy("dst_doc_id")
+                .agg(F.min("src_doc_id").alias("parent_doc_id"))  # deterministic parent
+                .withColumnRenamed("dst_doc_id", "doc_id")
+            )
+            visited_now = visited.select("doc_id").unionByName(frontier.select("doc_id"))
 
-    # drain aux writers: all lineage/metrics snapshots are durable before
-    # the crawl returns; a failed aux write re-raises here
-    aux_pool.shutdown(wait=True)
+            if bloom is not None:
+                # OR in just this wave's frontier ids (distributed partial build)
+                bloom.merge(build_bloom(frontier, "doc_id", 1, bloom_fpr,
+                                        n_bits=bloom.n_bits, k=bloom.k))
+            _mark("bloom")
+            nxt = anti_join_visited(candidates, visited_now, bloom=bloom, spark=spark)
+            if per_wave_limit is not None:
+                nxt = nxt.orderBy("doc_id").limit(per_wave_limit)
+
+            wall_ms = int((time.monotonic() - t0) * 1000)
+
+            lineage = frontier.select(
+                F.lit(wave).cast("int").alias("wave"),
+                "doc_id",
+                "parent_doc_id",
+                F.spark_partition_id().cast("int").alias("partition_id"),
+                F.current_timestamp().alias("ts"),
+            )
+            metrics = partition_metrics(spans, wave, wall_ms)
+
+            new_visited = visited.unionByName(
+                frontier.select("doc_id", F.lit(wave).cast("int").alias("wave"))
+            )
+
+            if ckpt_dir is not None:
+                # Per-wave snapshot commit. lineage/metrics are observability
+                # metadata — NOT needed for resume correctness (resume's
+                # authoritative state is the synchronous (next_frontier,
+                # visited) _SUCCESS pair; their recovery is already
+                # best-effort per `_is_complete`) and both derive from parquet
+                # already committed (frontier: previous wave; spans: above).
+                # Writing them inline cost ~0.5 s of serial job overhead each
+                # per wave (measured r5, BENCH/BASELINE.md crawl breakdown), so
+                # they append ASYNCHRONOUSLY on the aux pool; futures join
+                # before the crawl returns, failures re-raise there (r4 ask #6).
+                for name, df in (("lineage", lineage), ("metrics", metrics)):
+                    if async_aux:
+                        aux_futures.append(aux_pool.submit(
+                            lambda d=df, p=_wave_dir(ckpt_dir, wave, name):
+                            d.write.mode("overwrite").parquet(p)))
+                    else:
+                        df.write.mode("overwrite").parquet(
+                            _wave_dir(ckpt_dir, wave, name))
+                        _mark(name)  # separate lineage/metrics walls
+                if async_aux:
+                    _mark("aux_submit")
+                aux_waves.append(wave)
+                nxt.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
+                nxt = spark.read.parquet(_wave_dir(ckpt_dir, wave, "next_frontier"))
+                _mark("frontier")
+                if visited_buckets:
+                    # bucketed-by-doc_id visited table: the NEXT wave's exact
+                    # anti-join co-locates on the visited side (no exchange on
+                    # the table that grows without bound; only the tiny
+                    # maybe_seen probe shuffles into the bucket layout). In
+                    # production this is an Iceberg table with a bucket(doc_id)
+                    # partition transform — there the layout survives sessions;
+                    # parquet bucketing metadata lives in the session catalog,
+                    # so a RESUME in a fresh session reads the same files as
+                    # plain parquet (correct, just unbucketed until rewritten).
+                    new_visited = _write_visited_bucketed(
+                        spark, new_visited,
+                        _wave_dir(ckpt_dir, wave, "visited"),
+                        visited_buckets, wave,
+                    )
+                else:
+                    new_visited.write.mode("overwrite").parquet(_wave_dir(ckpt_dir, wave, "visited"))
+                    new_visited = spark.read.parquet(_wave_dir(ckpt_dir, wave, "visited"))
+                _mark("visited")
+            else:
+                # keep plans bounded without a checkpoint dir
+                nxt = nxt.localCheckpoint(eager=True)
+                _mark("frontier")
+                new_visited = new_visited.localCheckpoint(eager=True)
+                _mark("visited")
+
+            stages["wave"] = wave
+            stages["total"] = round(time.monotonic() - t0, 3)
+            wave_stages.append(stages)
+            if ckpt_dir is None:
+                # no checkpoint to re-read: return the live plans (ts /
+                # partition_id re-evaluate per action, as before r5)
+                lineage_parts.append(lineage)
+                metrics_parts.append(metrics)
+            visited = new_visited
+            frontier = nxt
+    finally:
+        # join aux writers even when a wave step raises: the caller's
+        # teardown (tmp-dir cleanup, session stop) must never race an
+        # in-flight lineage/metrics write, and the pool's threads must
+        # not leak. On the exception path a failed aux write stays
+        # secondary (the primary error propagates); on the success path
+        # the f.result() loop below re-raises it.
+        aux_pool.shutdown(wait=True)
+
+    # all lineage/metrics snapshots are durable before the crawl
+    # returns; a failed aux write re-raises here
     for f in aux_futures:
         f.result()
+
+    # re-read this invocation's lineage/metrics from the checkpoint parquet
+    # (recovered waves already are): the returned DataFrames are then
+    # deterministic across actions (current_timestamp/partition_id are
+    # frozen in the files) and byte-identical to the checkpointed snapshot,
+    # matching the docstring contract — and consumers don't re-execute the
+    # lineage plan the aux write already evaluated
+    for w in aux_waves:
+        lineage_parts.append(spark.read.parquet(_wave_dir(ckpt_dir, w, "lineage")))
+        metrics_parts.append(spark.read.parquet(_wave_dir(ckpt_dir, w, "metrics")))
 
     def _union(parts: list[DataFrame]) -> DataFrame | None:
         if not parts:

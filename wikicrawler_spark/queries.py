@@ -599,8 +599,13 @@ def _tb_decorate(elem: str, split: str) -> str:
 # acronym, a single letter/digit, or a known abbreviation. Replayed as a
 # protect pass that rewrites ONLY the chunk-final '.' to chr(1) before the
 # boundary marking, and restores it before the cascade.
+# Sort by (-len, alpha): longest-first for alternation correctness, with a
+# total order so equal-length entries don't keep the frozenset's
+# hash-randomized relative order (which made this string — and therefore
+# _TB_PROTECT, the word_freq_treebank oracle SQL, and its dependency
+# fingerprint — differ per process; same class of bug as ADVICE r4 medium).
 _TB_ABBR_ALT = "|".join(
-    re.escape(a) for a in sorted(A_TB_ABBREVIATIONS, key=len, reverse=True)
+    re.escape(a) for a in sorted(A_TB_ABBREVIATIONS, key=lambda a: (-len(a), a))
 )
 _TB_PROTECT = r"(?i)(^|\s)((?:[a-z]\.)*[a-z]|[0-9]|" + _TB_ABBR_ALT + r")\."
 
