@@ -228,3 +228,26 @@ def test_stream_watermarked_dedup(spark, tmp_path):
     q.awaitTermination()
     got = [r["doc_id"] for r in spark.read.parquet(out_dir).collect()]
     assert sorted(got) == sorted(d["doc_id"] for d in docs)
+
+
+def test_stream_dedup_replay_drops_planted_duplicates(spark):
+    """The driver row q_stream_dedup_replay streams the events table with
+    deterministic cross-batch re-deliveries (every 10th row of the prior
+    batch) through stream_dedup. This pins the property the oracle match
+    rests on: the aggregated output equals the ORIGINAL table's per-user
+    aggregate — i.e. every planted duplicate was dropped — and would fail
+    loudly if dropDuplicatesWithinWatermark semantics drifted."""
+    from pyspark.sql import functions as F
+
+    from wikicrawler_spark.queries import q_stream_dedup_replay, load
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: (r["n_events"], r["total_value"])
+           for r in q_stream_dedup_replay(spark, sf).collect()}
+    exp = {r["user_id"]: (r["n"], r["t"])
+           for r in load(spark, sf, "events")
+           .groupBy("user_id")
+           .agg(F.count("*").alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+                .cast("double").alias("t")).collect()}
+    assert got == exp

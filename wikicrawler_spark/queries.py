@@ -2696,6 +2696,91 @@ FROM s GROUP BY user_id, session_id
 # cast the driver's value hash mismatches on dtype alone (VERDICT r2).
 
 
+def q_stream_dedup_replay(spark, sf_dir):
+    """Second driver row for the STREAMING plane: the watermark-bounded
+    streaming dedup (``dropDuplicatesWithinWatermark`` — the bounded-state
+    path stream_extract documents as the at-scale default, SURVEY S4/T9
+    twin) replayed deterministically and oracled against plain batch SQL.
+
+    Input construction (both engines can derive it, so no side-channel):
+    the events table is globally ordered by (ts, event_id) and split into
+    three time-ordered micro-batch files; batches 1 and 2 additionally
+    RE-DELIVER every event of the PREVIOUS batch whose row number is
+    divisible by 10 — a deterministic at-least-once upstream. The stream
+    dedups on event_id within a 1-hour ingest-time watermark (all
+    re-deliveries arrive within seconds, so every duplicate is inside the
+    horizon and must be dropped; state for older ids is expirable, which
+    is the point of the operator at 10^12-event scale). The final table
+    aggregates per user, so a single surviving duplicate would shift
+    n_events/total_value and fail the hash against ORACLE_STREAM_DEDUP,
+    which simply aggregates the ORIGINAL events table — dedup output ==
+    exactly-once delivery.
+
+    Value math: per-event integer micro-units (exact for the 6-decimal
+    corpus), summed natively, rounded half-away-from-zero to 4dp in
+    integer arithmetic — bit-identical to the oracle's DECIMAL(18,6) sum,
+    same recipe as q_stream_sessionize_replay.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from .staging import stage_dir
+    from .streaming import stream_dedup
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    n = e.count()
+    ranked = e.withColumn(
+        "__rn", F.row_number().over(Window.orderBy("ts", "event_id")))
+    in_dir = stage_dir("wcs_dedup_replay_in")
+    os.makedirs(in_dir, exist_ok=True)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    mtime = 1_700_000_000  # fixed epoch: only the ORDER matters
+    for i in range(3):
+        batch = ranked.filter(
+            (F.col("__rn") > cuts[i]) & (F.col("__rn") <= cuts[i + 1]))
+        if i > 0:  # re-deliver a deterministic slice of the previous batch
+            redelivered = ranked.filter(
+                (F.col("__rn") > cuts[i - 1]) & (F.col("__rn") <= cuts[i])
+                & (F.col("__rn") % 10 == 0))
+            batch = batch.unionByName(redelivered)
+        tmp = stage_dir("wcs_dedup_replay_tmp")
+        (batch.drop("__rn").coalesce(1)
+         .write.mode("overwrite").parquet(tmp))
+        dst = os.path.join(in_dir, f"batch-{i:02d}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (mtime + i, mtime + i))
+    src = (spark.readStream.schema(e.schema)
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    qname = "wcs_dedup_replay_" + uuid.uuid4().hex[:8]
+    q = (stream_dedup(src, key_cols=["event_id"], watermark="1 hour")
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    micros = F.sum(
+        (F.signum("value")
+         * F.floor(F.abs(F.col("value").cast("double")) * 1_000_000
+                   + F.lit(0.5))).cast("long"))
+    half_up_4dp = (F.signum(micros)
+                   * F.floor((F.abs(micros) + F.lit(50)) / 100)
+                   / F.lit(10000.0)).cast("double")
+    return (spark.table(qname).groupBy("user_id")
+            .agg(F.count("*").alias("n_events"),
+                 half_up_4dp.alias("total_value")))
+
+
+ORACLE_STREAM_DEDUP = """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value::DECIMAL(18,6)), 4)::DOUBLE AS total_value
+FROM events GROUP BY user_id
+"""
+# the oracle sees the ORIGINAL table: the streamed input contains planted
+# duplicates, so a hash match IS the proof the watermark dedup dropped
+# every re-delivery (exactly-once output from an at-least-once upstream).
+
+
 def q_cube_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-set aggregation."""
     li = load(spark, sf_dir, "lineitem")
@@ -3082,10 +3167,12 @@ def queries() -> dict:
         "extract_disambig_links": q_extract_disambig_links,
         "extract_search_links": q_extract_search_links,
         "autosearch_chain": q_autosearch_chain,
-        # -- new in round 5: the streaming plane's driver row, and the
+        # -- new in round 5: the streaming plane's driver rows (stateful
+        #    sessionize replay + watermark-bounded dedup replay), and the
         #    vendored-Treebank opt-in parity row (tokenizer policy: default
         #    stays the native regex spec; see q_word_freq_treebank) --
         "stream_sessionize_replay": q_stream_sessionize_replay,
+        "stream_dedup_replay": q_stream_dedup_replay,
         "word_freq_treebank": q_word_freq_treebank,
         "sentence_sentiment": q_sentence_sentiment,
         # -- r3-green, kept in-window to fill to 50 --
@@ -3099,9 +3186,11 @@ def queries() -> dict:
         "pdf_layout_spans": q_pdf_layout_spans,
         # -- new in round 4: multimodal decode plane, driver-oracled --
         "media_decode": q_media_decode,
-        "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         # ---- 50-entry gate window ends here ----
+        # -- r4-green, deps untouched in r5: rotated out to make window
+        #    room for the second streaming row (stream_dedup_replay) --
+        "media_frames": q_media_frames,
         # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
         #    untouched in round 4 (enforced by the dep-fingerprint guard
         #    test; tpch_q1/pagerank_orders/dedup_exact_prefix/
@@ -3206,6 +3295,7 @@ def oracle_sql() -> dict:
         # the stream replay must land the SAME final state the batch gap
         # rule computes — identical SQL, no tolerance
         "stream_sessionize_replay": ORACLE_SESSIONIZE,
+        "stream_dedup_replay": ORACLE_STREAM_DEDUP,
         "upsert_latest": ORACLE_UPSERT,
         "validate_doc_ids": ORACLE_VALIDATE,
         "asof_login_value": ORACLE_ASOF,

@@ -61,12 +61,8 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_dir)
     if dedup_watermark is not None:
-        docs = (
-            docs.withColumn("__ingest_ts", F.current_timestamp())
-            .withWatermark("__ingest_ts", dedup_watermark)
-            .dropDuplicatesWithinWatermark(["doc_id"])
-            .drop("__ingest_ts")
-        )
+        docs = stream_dedup(docs, key_cols=["doc_id"],
+                            watermark=dedup_watermark)
     elif dedup_doc_ids:
         docs = docs.dropDuplicates(["doc_id"])
     spans = extract_spans(docs, latex=latex)
@@ -79,6 +75,29 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_dedup(stream_df, *, key_cols: list[str],
+                 watermark: str = "1 hour"):
+    """Watermark-bounded exactly-once filter over an at-least-once stream:
+    ``dropDuplicatesWithinWatermark`` on ``key_cols`` over an INGEST-time
+    column (the corpus carries no event time — SURVEY §2.5). First
+    occurrence of a key is emitted immediately (dedup never buffers);
+    re-deliveries arriving within ``watermark`` of the original are
+    dropped; state for keys older than the horizon expires — bounded state
+    for an unbounded stream, which is what makes the operator viable at
+    10^12 events where the full-history ``dropDuplicates`` state would
+    grow without bound. Re-deliveries BEYOND the horizon pass through by
+    design (the at-scale contract: at-least-once upstreams redeliver
+    within minutes; anything later is a new delivery).
+
+    Shared by stream_extract's ``dedup_watermark`` mode (doc_id dedup) and
+    the driver replay row queries.q_stream_dedup_replay (event_id dedup,
+    hash-matched against the batch oracle)."""
+    return (stream_df.withColumn("__ingest_ts", F.current_timestamp())
+            .withWatermark("__ingest_ts", watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols))
+            .drop("__ingest_ts"))
 
 
 def stream_span_rates(spark, input_dir: str, *, window: str = "10 seconds"):
