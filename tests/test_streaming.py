@@ -251,3 +251,61 @@ def test_stream_dedup_replay_drops_planted_duplicates(spark):
                 F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
                 .cast("double").alias("t")).collect()}
     assert got == exp
+
+
+def test_stream_windows_replay_matches_model_and_drops(spark):
+    """Pins the replay model q_stream_windows_replay's oracle encodes:
+    (1) the result equals the model computed in plain DataFrame ops
+    (lagged filter watermark, window-end drop predicate, final emission
+    horizon); (2) the late-drop path actually fires (the interleaved
+    batching makes ~1/3 of batch 2 late) — so a semantics drift in
+    dropDuplicates-free watermark aggregation would fail here, not just
+    in the driver gate."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from wikicrawler_spark.queries import q_stream_windows_replay, load
+
+    sf = "/root/testdata/sf0.001"
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in q_stream_windows_replay(spark, sf).collect()}
+
+    e = load(spark, sf, "events").select("event_id", "ts", "event_type",
+                                         "value")
+    vmic = (F.signum("value")
+            * F.floor(F.abs(F.col("value").cast("double")) * 1_000_000
+                      + F.lit(0.5))).cast("long")
+    b = e.withColumn(
+        "batch", (F.row_number().over(W.orderBy("ts", "event_id")) - 1) % 3
+    ).withColumn("vmic", vmic)
+    mt = {r["batch"]: r["mt"] for r in
+          b.groupBy("batch").agg(F.max("ts").alias("mt")).collect()}
+    final_wm = max(mt.values()) - dt.timedelta(minutes=30)
+
+    def fwm(batch):  # filter watermark lags eviction by one batch
+        prior = [mt[i] for i in mt if i <= batch - 2]
+        return max(prior) - dt.timedelta(minutes=30) if prior else None
+
+    rows = b.select("ts", "event_type", "vmic", "batch").collect()
+    agg: dict = {}
+    n_dropped = 0
+    for r in rows:
+        ws = r["ts"].replace(minute=0, second=0, microsecond=0)
+        we = ws + dt.timedelta(hours=1)
+        w = fwm(r["batch"])
+        if w is not None and we <= w:
+            n_dropped += 1
+            continue
+        k = (ws, r["event_type"])
+        n, micros = agg.get(k, (0, 0))
+        agg[k] = (n + 1, micros + r["vmic"])
+    exp = {}
+    for (ws, et), (n, micros) in agg.items():
+        if ws + dt.timedelta(hours=1) <= final_wm:
+            sign = -1 if micros < 0 else 1
+            exp[(ws, et)] = (n, sign * (abs(micros) + 50) // 100 / 10000.0)
+
+    assert n_dropped > 0  # the late path is actually exercised
+    assert got == exp

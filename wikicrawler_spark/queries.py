@@ -2781,6 +2781,117 @@ FROM events GROUP BY user_id
 # every re-delivery (exactly-once output from an at-least-once upstream).
 
 
+def q_stream_windows_replay(spark, sf_dir):
+    """Third streaming driver row: EVENT-time windowed aggregation with a
+    watermark (streaming.stream_event_windows — the late-data contract)
+    replayed deterministically, with the late-row DROPS and the
+    append-mode emission horizon both reproduced in the oracle.
+
+    Batch construction: events ordered by (ts, event_id) take batch
+    ``(rn-1) % 3`` — interleaving over the full time range, so later
+    batches carry genuinely-late rows and the drop path actually fires
+    (~1/3 of rows in batch 2 fall behind the watermark; a time-ordered
+    split would drop nothing).
+
+    Replay model, pinned empirically on this engine (availableNow +
+    maxFilesPerTrigger=1 over mtime-ordered files; see PLANS.md
+    "Streaming watermark replay"):
+      * eviction watermark of batch i = max event ts over batches < i,
+        minus the 30-min delay (epoch for batch 0);
+      * the LATE-ROW FILTER of batch i uses the PREVIOUS batch's eviction
+        watermark (the filter lags eviction by one batch), and drops a row
+        iff its WINDOW END <= that watermark (the predicate is on the
+        window, not the raw ts — a pre-watermark ts whose window is still
+        open is kept);
+      * a trailing no-data batch runs iff the final file advanced the
+        watermark, so the emitted set is: surviving groups whose
+        window_end <= max(all ts) - 30min.
+    Boundary equality can't arise: no corpus ts is hour- or half-hour-
+    aligned (verified at sf 0.001/0.01/0.1), so <= vs < at the horizon is
+    unobservable and the replay is exact.
+
+    Value math: per-event integer micro-units (identical native
+    expression both engines), summed by the stream (exact in double far
+    below 2^53), half-away-from-zero to 4dp in integer arithmetic.
+    """
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from .staging import stage_dir
+    from .streaming import stream_event_windows
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value")
+    vmic = (F.signum("value")
+            * F.floor(F.abs(F.col("value").cast("double")) * 1_000_000
+                      + F.lit(0.5))).cast("double")
+    ranked = e.withColumn(
+        "__b", (F.row_number().over(Window.orderBy("ts", "event_id")) - 1) % 3
+    ).select("ts", "event_type", vmic.alias("value"), "__b")
+    in_dir = stage_dir("wcs_win_replay_in")
+    os.makedirs(in_dir, exist_ok=True)
+    mtime = 1_700_000_000  # fixed epoch: only the ORDER matters
+    for i in range(3):
+        tmp = stage_dir("wcs_win_replay_tmp")
+        (ranked.filter(F.col("__b") == i).drop("__b")
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        dst = os.path.join(in_dir, f"batch-{i:02d}.parquet")
+        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        os.utime(dst, (mtime + i, mtime + i))
+    src = (spark.readStream
+           .schema("ts timestamp, event_type string, value double")
+           .option("maxFilesPerTrigger", 1).parquet(in_dir))
+    qname = "wcs_win_replay_" + uuid.uuid4().hex[:8]
+    q = (stream_event_windows(src, window="1 hour", watermark="30 minutes")
+         .writeStream.format("memory").queryName(qname)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    micros = F.col("value_sum")  # integer micros; round(x,6) was identity
+    half_up_4dp = (F.signum(micros)
+                   * F.floor((F.abs(micros) + F.lit(50)) / 100)
+                   / F.lit(10000.0)).cast("double")
+    return spark.table(qname).select(
+        "window_start", "window_end", "event_type",
+        "n", half_up_4dp.alias("total_value"))
+
+
+ORACLE_STREAM_WINDOWS = """
+WITH e AS (
+  SELECT ts, event_type,
+         (sign(value) * floor(abs(value::DOUBLE) * 1000000 + 0.5))::BIGINT
+           AS vmic,
+         ((row_number() OVER (ORDER BY ts, event_id)) - 1) % 3 AS batch
+  FROM events
+), m AS (SELECT batch, max(ts) AS mt FROM e GROUP BY batch),
+f AS (
+  SELECT e.*,
+         date_trunc('hour', e.ts) AS ws,
+         date_trunc('hour', e.ts) + INTERVAL 1 HOUR AS we,
+         (SELECT max(mt) FROM m WHERE m.batch <= e.batch - 2) AS fmax
+  FROM e
+), kept AS (
+  -- late-row filter: window end vs the LAGGED watermark (batches 0 and 1
+  -- run before any watermark exists)
+  SELECT * FROM f
+  WHERE fmax IS NULL OR we > fmax - INTERVAL 30 MINUTE
+), agg AS (
+  SELECT ws AS window_start, we AS window_end, event_type,
+         count(*) AS n, sum(vmic) AS micros
+  FROM kept GROUP BY 1, 2, 3
+)
+SELECT window_start, window_end, event_type, n,
+       (sign(micros) * floor((abs(micros) + 50) / 100) / 10000.0)::DOUBLE
+         AS total_value
+FROM agg
+WHERE window_end <= (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE
+"""
+# emission horizon: append mode finalizes a window only once the watermark
+# passes its end, so trailing windows stay in state and never reach the
+# sink — the oracle's final WHERE reproduces exactly that.
+
+
 def q_cube_lineitem(spark, sf_dir):
     """CUBE over (returnflag, linestatus) — grouping-set aggregation."""
     li = load(spark, sf_dir, "lineitem")
@@ -3173,6 +3284,7 @@ def queries() -> dict:
         #    stays the native regex spec; see q_word_freq_treebank) --
         "stream_sessionize_replay": q_stream_sessionize_replay,
         "stream_dedup_replay": q_stream_dedup_replay,
+        "stream_windows_replay": q_stream_windows_replay,
         "word_freq_treebank": q_word_freq_treebank,
         "sentence_sentiment": q_sentence_sentiment,
         # -- r3-green, kept in-window to fill to 50 --
@@ -3186,11 +3298,12 @@ def queries() -> dict:
         "pdf_layout_spans": q_pdf_layout_spans,
         # -- new in round 4: multimodal decode plane, driver-oracled --
         "media_decode": q_media_decode,
-        "media_audio": q_media_audio,
         # ---- 50-entry gate window ends here ----
         # -- r4-green, deps untouched in r5: rotated out to make window
-        #    room for the second streaming row (stream_dedup_replay) --
+        #    room for the second and third streaming rows
+        #    (stream_dedup_replay, stream_windows_replay) --
         "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
         # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
         #    untouched in round 4 (enforced by the dep-fingerprint guard
         #    test; tpch_q1/pagerank_orders/dedup_exact_prefix/
@@ -3296,6 +3409,7 @@ def oracle_sql() -> dict:
         # rule computes — identical SQL, no tolerance
         "stream_sessionize_replay": ORACLE_SESSIONIZE,
         "stream_dedup_replay": ORACLE_STREAM_DEDUP,
+        "stream_windows_replay": ORACLE_STREAM_WINDOWS,
         "upsert_latest": ORACLE_UPSERT,
         "validate_doc_ids": ORACLE_VALIDATE,
         "asof_login_value": ORACLE_ASOF,
