@@ -68,6 +68,9 @@ HEADLINE = [
     "contamination_check",
     "bm25_search",
     "training_corpus",
+    "word_freq_treebank",       # vendored PTB-cascade backend (r5 parity row)
+    "sentence_sentiment",       # vendored-VADER scoring + A10 blend (r5)
+    "stream_windows_replay",    # watermarked event-time windows, replayed (r5)
 ]
 
 
