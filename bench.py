@@ -71,6 +71,9 @@ HEADLINE = [
     "word_freq_treebank",       # vendored PTB-cascade backend (r5 parity row)
     "sentence_sentiment",       # vendored-VADER scoring + A10 blend (r5)
     "stream_windows_replay",    # watermarked event-time windows, replayed (r5)
+    "duplicate_spans",          # substring-level exact dedup (r5 second half)
+    "semantic_dedup",           # SemDeDup survivor set over LSH blocking (r5)
+    "tpch_q3",                  # top-k join funnel (r5)
 ]
 
 

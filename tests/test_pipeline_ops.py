@@ -547,3 +547,121 @@ def test_chunk_documents_planted(spark):
     assert d1[0]["chunk_text"].split()[-4:] == d1[1]["chunk_text"].split()[:4]
     assert len(by_doc["d2"]) == 1 and by_doc["d2"][0]["n_chunk_tokens"] == 3
     assert "d3" not in by_doc
+
+
+# ---------------------------------------------------------------- duplicate
+# token spans (substring-level exact dedup, Lee et al. 2021 capability)
+
+def _py_dup_spans(texts: dict[str, str], n: int = 8,
+                  cap: int = 50) -> set[tuple]:
+    """Independent O(n^2) reference: hash-free maximal shared token runs."""
+    toks = {d: t.lower().split() for d, t in texts.items()}
+    # shingle -> [(doc, pos)]
+    occ: dict[tuple, list] = {}
+    for d, w in toks.items():
+        for i in range(len(w) - n + 1):
+            occ.setdefault(tuple(w[i:i + n]), []).append((d, i))
+    hot = {s for s, ps in occ.items()
+           if 2 <= len({d for d, _ in ps}) <= cap}
+    matches = set()
+    for s in hot:
+        ps = occ[s]
+        for da, pa in ps:
+            for db, pb in ps:
+                if da < db:
+                    matches.add((da, db, pa, pb))
+    spans = set()
+    for da, db, pa, pb in matches:
+        if (da, db, pa - 1, pb - 1) in matches:
+            continue  # not a run start
+        ln = 0
+        while (da, db, pa + ln + 1, pb + ln + 1) in matches:
+            ln += 1
+        spans.add((da, db, pa, pb, ln + n))
+    return spans
+
+
+def test_duplicate_spans_vs_python(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        ("a", f"{shared} one two three"),
+        ("b", f"zero {shared} four five"),          # 10-token shared run
+        ("c", "totally unrelated words that never repeat anything at all "
+              "nine eight seven six five four three two one zero"),
+        ("d", f"{shared} one two three"),           # exact dup of a
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r["doc_a"], r["doc_b"], r["start_a"], r["start_b"],
+            r["len_tokens"])
+           for r in D.duplicate_token_spans(df, n=8).collect()}
+    want = _py_dup_spans({d: t for d, t in rows}, n=8)
+    assert got == want
+    # the planted alignments, spelled out: a/b share the 10-token prefix
+    # run at (0, 1); a/d share the full 13-token text at (0, 0)
+    assert ("a", "b", 0, 1, 10) in got
+    assert ("a", "d", 0, 0, 13) in got
+
+
+def test_duplicate_spans_islands_split_on_gap(spark):
+    """Two shared runs on the SAME diagonal separated by a one-token gap
+    must emit as two maximal spans, not one."""
+    run1 = "a1 a2 a3 a4 a5 a6 a7 a8"
+    run2 = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rows = [("x", f"{run1} GAPX {run2}"),
+            ("y", f"{run1} GAPY {run2}")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r["start_a"], r["start_b"], r["len_tokens"])
+           for r in D.duplicate_token_spans(df, n=8).collect()}
+    assert got == {(0, 0, 8), (9, 9, 8)}
+
+
+def test_duplicate_spans_cap_suppresses_boilerplate(spark):
+    """A run shared by MORE than max_docs_per_shingle docs is boilerplate:
+    the cap keeps it out of the pairwise join entirely."""
+    boiler = "click here to subscribe to our newsletter every single day"
+    rows = [(f"d{i}", f"{boiler} unique{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    assert D.duplicate_token_spans(df, n=8, max_docs_per_shingle=3) \
+        .count() == 0
+    # and with the cap above the fan-out, all 10 pairs appear
+    assert D.duplicate_token_spans(df, n=8, max_docs_per_shingle=5) \
+        .count() == 10
+
+
+def test_semantic_dedup_survivors(spark):
+    """SemDeDup keep-min-id policy: survivors = ids never on the junior
+    side of a near-dup pair; verified against the exact pair set (LSH
+    recall at this threshold/config is exercised separately)."""
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((6, 64))
+    vecs = list(base)
+    vecs.append(base[0] + rng.standard_normal(64) * 0.01)   # ~dup of 0
+    vecs.append(base[3] + rng.standard_normal(64) * 0.01)   # ~dup of 3
+    rows = [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    pairs = S.embedding_near_duplicates(
+        df, threshold=0.9, method="exact", dim=64)
+    dropped = {r["id_b"] for r in pairs.collect()}
+    assert dropped == {6, 7}
+    survivors = {
+        r["vec_id"]
+        for r in df.join(pairs.selectExpr("id_b as vec_id").distinct(),
+                         "vec_id", "left_anti").collect()
+    }
+    assert survivors == {0, 1, 2, 3, 4, 5}
+
+
+def test_duplicate_spans_materialize_invariant(spark):
+    """The staging boundary is a perf fix, not a semantic one: staged and
+    unstaged plans emit the identical span set."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [("a", f"{shared} one two"), ("b", f"pad {shared} three")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    key = lambda r: (r["doc_a"], r["doc_b"], r["start_a"], r["start_b"],
+                     r["len_tokens"])
+    staged = {key(r) for r in
+              D.duplicate_token_spans(df, n=8, materialize=True).collect()}
+    inline = {key(r) for r in
+              D.duplicate_token_spans(df, n=8, materialize=False).collect()}
+    assert staged == inline and staged

@@ -345,3 +345,96 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def positional_shingles(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 8) -> DataFrame:
+    """(id, pos, h) rows: the 60-bit hash of the n-token shingle STARTING at
+    token position ``pos`` (0-based), for every position — NOT distinct
+    (positions are the point: they let consumers merge adjacent matches
+    into maximal duplicated runs). Narrow end-to-end: token array built
+    once per doc (two-step projection, same CollapseProject reasoning as
+    shingle_table), posexplode carries the position, and only the slim
+    (id, pos, 8-byte hash) rows ever leave the stage — the n-token shingle
+    strings themselves never shuffle."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
+                    lambda t: t != F.lit(""))
+    tmp = _spread(df).select(F.col(id_col).cast("string").alias("id"),
+                             toks.alias("__w"))
+    idx = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(0), F.size("__w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    arr = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("__w"), i + 1, n), " "))
+    staged = tmp.select("id", arr.alias("__sh"))
+    return staged.select(
+        "id", F.posexplode("__sh").alias("pos", "shingle")
+    ).select("id", F.col("pos").cast("long").alias("pos"),
+             _h60(F.col("shingle")).alias("h"))
+
+
+def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          max_docs_per_shingle: int = 50,
+                          materialize: bool = True) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" capability, re-expressed as
+    a bounded shingle equi-join instead of a suffix array): find every
+    MAXIMAL run of >= n consecutive tokens shared verbatim between two
+    documents. Returns (doc_a, doc_b, start_a, start_b, len_tokens) with
+    doc_a < doc_b, start_* = 0-based token offsets, len_tokens = run length
+    in tokens.
+
+    Plan shape (all native, no Python):
+      1. positional n-token shingle hashes per doc (narrow).
+      2. one groupBy(h) shuffle keeps hashes seen in 2..max_docs_per_shingle
+         DISTINCT docs — the >=2 side is the work filter (unique shingles,
+         i.e. almost everything, never reach the join); the cap is the scale
+         guard that kills degenerate boilerplate runs ("click here to
+         subscribe" in 10^9 docs) whose pair fan-out is quadratic. Capped
+         shingles are handled by boilerplate REMOVAL ops, not pairwise
+         dedup.
+      3. the hot-filtered match table (id, pos, h — 24 bytes/row, only
+         occurrences of DUPLICATED shingles, tiny vs the corpus) is staged
+         to parquet once (``materialize=True``, the training_corpus
+         pattern): without the explicit boundary Catalyst re-derives it
+         for BOTH self-join sides, i.e. three full corpus passes and the
+         step-2 aggregate twice — measured in the r5 plan audit. Staged,
+         the corpus is scanned exactly twice (agg pass + join-back pass).
+      4. slim self-join of the staged matches on h => aligned match
+         positions (doc_a, pa, doc_b, pb).
+      5. gaps-and-islands merge per (pair, pa-pb diagonal): consecutive pa
+         runs collapse via the row_number trick, one window shuffle keyed by
+         (doc_a, doc_b, diag).
+    At 100 TB the dominant cost is step 4's join, bounded by
+    sum_over_hot_shingles(occurrences^2) — explicitly capped by step 2.
+    """
+    sh = positional_shingles(df, id_col, text_col, n)
+    hot = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter((F.col("nd") >= 2) & (F.col("nd") <= max_docs_per_shingle))
+        .select("h")
+    )
+    m = sh.join(hot, "h")
+    if materialize:
+        from ..staging import stage_dir
+
+        path = stage_dir("dup_span_matches")
+        m.write.mode("overwrite").parquet(path)
+        m = df.sparkSession.read.parquet(path)
+    a = m.select(F.col("id").alias("doc_a"), F.col("pos").alias("pa"), "h")
+    b = m.select(F.col("id").alias("doc_b"), F.col("pos").alias("pb"), "h")
+    pairs = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("diag", F.col("pa") - F.col("pb"))
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.min("pa").alias("start_a"), F.min("pb").alias("start_b"),
+             (F.count("*") + F.lit(n - 1)).cast("long").alias("len_tokens"))
+        .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    )

@@ -3218,6 +3218,162 @@ def q_bm25_search(spark, sf_dir):
     return B.bm25_topk(d, _BM25_QUERY, k=10)
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Substring-level exact dedup (Lee et al. 2021): maximal runs of >= 8
+    consecutive tokens shared verbatim between two documents, as a bounded
+    positional-shingle equi-join + gaps-and-islands merge — the suffix-array
+    capability the n-gram Jaccard family (doc-level) cannot express. The
+    reference's closest analog is its whole-page cache dedup
+    (core/db/cacher.py:48-50); span-level duplication is the corpus-scale
+    extension a training pipeline needs."""
+    return D.duplicate_token_spans(_docs_text(spark, sf_dir), n=8,
+                                   max_docs_per_shingle=50)
+
+
+ORACLE_DUPLICATE_SPANS = f"""
+WITH toks AS (
+  SELECT doc_id::VARCHAR AS id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS w
+  FROM documents
+), sh AS (
+  SELECT id, (i - 1)::BIGINT AS pos,
+         {_SQL_H60.format(
+             x="concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],"
+               " w[i+4], w[i+5], w[i+6], w[i+7])")} AS h
+  FROM toks, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+  WHERE len(w) >= 8
+), hot AS (
+  SELECT h FROM sh GROUP BY h
+  HAVING count(DISTINCT id) BETWEEN 2 AND 50
+), m AS (
+  SELECT a.id AS doc_a, a.pos AS pa, b.id AS doc_b, b.pos AS pb
+  FROM sh a JOIN sh b ON a.h = b.h AND a.id < b.id
+  WHERE a.h IN (SELECT h FROM hot)
+), runs AS (
+  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                 ORDER BY pa) AS grp
+  FROM m
+)
+SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+       (count(*) + 7)::BIGINT AS len_tokens
+FROM runs GROUP BY doc_a, doc_b, diag, grp
+"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style curation step (Abbas et al. 2023, re-expressed over
+    the already-oracled hyperplane-LSH blocking instead of k-means
+    clusters): embedding near-dup pairs at cos >= 0.4, then keep-minimum-id
+    — any vector that appears as the junior side of a pair is dropped; the
+    survivors are the deduplicated corpus. One anti-join on the ids-only
+    drop set; the pair generation is the bucketed equi-join audited in
+    embedding_near_dups_lsh (never all-pairs)."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding",
+        F.col("label").cast("int").alias("label"))
+    pairs = S.embedding_near_duplicates(emb, threshold=0.4, method="lsh")
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return emb.join(drops, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def _oracle_semantic_dedup(threshold: float = 0.4, dim: int = 64,
+                           n_planes: int = 4, n_tables: int = 16,
+                           seed: int = 42) -> str:
+    """Replays the LSH blocking (same inlined plane constants as
+    _oracle_emb_near_dups_lsh), the cosine verify, and the keep-min-id
+    anti-join."""
+    return f"""
+WITH e AS (SELECT vec_id::BIGINT AS vid, embedding::DOUBLE[] AS v FROM embeddings),
+planes(table_idx, w, pv) AS (VALUES {_plane_values_sql(dim, n_planes, n_tables, seed)}),
+b AS ({_SQL_LSH_BUCKETS}),
+cand AS (
+  SELECT DISTINCT l.vid AS id_a, r.vid AS id_b
+  FROM b l JOIN b r USING (table_idx, bucket)
+  WHERE l.vid < r.vid
+),
+drops AS (
+  SELECT DISTINCT id_b
+  FROM cand JOIN e x ON x.vid = id_a JOIN e y ON y.vid = id_b
+  WHERE round(list_dot_product(x.v, y.v) /
+              (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+              6) >= {threshold}
+)
+SELECT vec_id::BIGINT AS vec_id, label::INT AS label
+FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM drops)
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shape (shipping-priority top-k) on the testdata star schema:
+    selective dimension filter -> fact join -> grouped revenue -> global
+    top-10. The customer side is broadcast (dimension after a segment
+    filter); the orders-lineitem join shuffles on the order key; the
+    top-10 is TakeOrderedAndProject, never a full sort."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01")).select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01")).select(
+        "l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+# rank-10/11 revenue gap at sf0.01 is ~8k (347,220 vs 338,848) — the top-10
+# SET is float-noise-proof; round(.,2) keeps the hashed values order-proof
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01'
+  AND l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 shape (forecasting-revenue-change): pure scan + conjunctive
+    pushed-down predicates + one global agg — the canonical
+    filter-pushdown/codegen probe (zero joins, zero width beyond the three
+    filter columns + two agg inputs)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3287,11 +3443,15 @@ def queries() -> dict:
         "stream_windows_replay": q_stream_windows_replay,
         "word_freq_treebank": q_word_freq_treebank,
         "sentence_sentiment": q_sentence_sentiment,
+        # -- new in round 5 (second half): substring-level exact dedup
+        #    (Lee et al. 2021 capability as a bounded shingle equi-join),
+        #    SemDeDup-style survivor set over the oracled LSH blocking,
+        #    and TPC-H Q3/Q6 shapes (top-k join funnel + pushdown probe) --
+        "duplicate_spans": q_duplicate_spans,
+        "semantic_dedup": q_semantic_dedup,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q6": q_tpch_q6,
         # -- r3-green, kept in-window to fill to 50 --
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "lsh_ann_recall": q_lsh_ann_recall,
-        "ivf_ann_recall": q_ivf_ann_recall,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
@@ -3301,7 +3461,12 @@ def queries() -> dict:
         # ---- 50-entry gate window ends here ----
         # -- r4-green, deps untouched in r5: rotated out to make window
         #    room for the second and third streaming rows
-        #    (stream_dedup_replay, stream_windows_replay) --
+        #    (stream_dedup_replay, stream_windows_replay) and (second half)
+        #    for duplicate_spans/semantic_dedup/tpch_q3/tpch_q6 --
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_recall": q_lsh_ann_recall,
+        "ivf_ann_recall": q_ivf_ann_recall,
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
@@ -3380,6 +3545,10 @@ def oracle_sql() -> dict:
         "ivf_ann_recall": ORACLE_ANN_RECALL,  # same exact-truth assertion
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
         "embedding_near_dups_recall": _oracle_emb_recall(),
+        "duplicate_spans": ORACLE_DUPLICATE_SPANS,
+        "semantic_dedup": _oracle_semantic_dedup(),
+        "tpch_q3": ORACLE_TPCH_Q3,
+        "tpch_q6": ORACLE_TPCH_Q6,
         "pdf_layout_spans": ORACLE_PDF_LAYOUT,
         "media_decode": _oracle_media_decode(),
         "media_frames": _oracle_media_frames(),
