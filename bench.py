@@ -72,8 +72,10 @@ HEADLINE = [
     "sentence_sentiment",       # vendored-VADER scoring + A10 blend (r5)
     "stream_windows_replay",    # watermarked event-time windows, replayed (r5)
     "duplicate_spans",          # substring-level exact dedup (r5 second half)
+    "duplicate_span_removal",   # corpus rewrite consuming the span table (r5)
     "semantic_dedup",           # SemDeDup survivor set over LSH blocking (r5)
     "tpch_q3",                  # top-k join funnel (r5)
+    "tpch_q5",                  # multi-way star join (r5)
 ]
 
 

@@ -665,3 +665,66 @@ def test_duplicate_spans_materialize_invariant(spark):
     inline = {key(r) for r in
               D.duplicate_token_spans(df, n=8, materialize=False).collect()}
     assert staged == inline and staged
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """Keep-min-id rewrite: senior copy intact, junior run excised with
+    original case preserved and whitespace normalized; exact dup empties;
+    untouched docs pass through; every input doc appears exactly once."""
+    shared = "Alpha Beta Gamma Delta Epsilon Zeta Eta Theta Iota Kappa"
+    rows = [("a", f"{shared}  one\ttwo three"),       # messy whitespace
+            ("b", f"zero {shared.lower()} four five"),
+            ("c", "no duplication here at all in this sentence of words"),
+            ("d", f"{shared} one two three")]         # not a full dup of a
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in D.remove_duplicate_spans(df, n=8).collect()}
+    assert set(out) == {"a", "b", "c", "d"}
+    # 'a' is the minimum id everywhere: keeps all 13 tokens, re-joined
+    assert out["a"] == (f"{shared} one two three", 0)
+    # 'b' loses the 10-token run (matched case-insensitively, its own
+    # lowercased copy removed), keeps its unique frame
+    assert out["b"] == ("zero four five", 10)
+    assert out["c"] == (rows[2][1], 0)
+    # 'd' shares the full 13-token stream with 'a': everything goes
+    assert out["d"] == ("", 13)
+
+
+def test_remove_duplicate_spans_overlap_merge(spark):
+    """A doc junior to two OVERLAPPING runs (vs two different seniors)
+    must count each excised token once: intervals merge before the
+    rebuild, so n_tokens_removed == tokens actually missing."""
+    t1 = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"          # positions 0-9 in z
+    t2 = "t5 t6 t7 t8 t9 t10 t11 t12 t13 t14"      # positions 4-13 in z
+    rows = [("a", t1), ("b", t2),
+            ("z", "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 tail")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: (r["clean_text"], r["n_tokens_removed"])
+           for r in D.remove_duplicate_spans(df, n=8).collect()}
+    # z is junior to both a (tokens 0-9) and b (tokens 4-13): the merged
+    # excision is 0-13 = 14 tokens, leaving only the tail token
+    assert out["z"] == ("tail", 14)
+    # a keeps everything; b is junior to a on their 6-token overlap? no —
+    # a/b share only 6 consecutive tokens (< n=8), so no pair, no excision
+    assert out["a"] == (t1, 0)
+    assert out["b"] == (t2, 0)
+
+
+def test_remove_duplicate_spans_vs_spans_table(spark):
+    """Cross-op consistency on real testdata shape: every doc with
+    n_tokens_removed > 0 must appear as a junior (doc_b) in the spans
+    table, and clean_text token count + n_tokens_removed == original
+    token count."""
+    shared = " ".join(f"w{i}" for i in range(12))
+    rows = [(f"doc{i:02d}",
+             (f"{shared} filler{i}" if i % 3 == 0 else
+              f"unique{i} body text with enough words to stand alone {i}"))
+            for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    spans = D.duplicate_token_spans(df, n=8)
+    juniors = {r["doc_b"] for r in spans.collect()}
+    for r in D.remove_duplicate_spans(df, n=8, spans=spans).collect():
+        orig = dict(rows)[r["doc_id"]].split()
+        kept = r["clean_text"].split() if r["clean_text"] else []
+        assert len(kept) + r["n_tokens_removed"] == len(orig)
+        assert (r["n_tokens_removed"] > 0) == (r["doc_id"] in juniors)

@@ -438,3 +438,67 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
              (F.count("*") + F.lit(n - 1)).cast("long").alias("len_tokens"))
         .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
     )
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 8,
+                           max_docs_per_shingle: int = 50,
+                           spans: DataFrame | None = None) -> DataFrame:
+    """The second half of the Lee et al. 2021 capability: REWRITE the
+    corpus with every duplicated run excised from its junior copies.
+    Keep policy is deterministic keep-minimum-id: ``duplicate_token_spans``
+    emits pairs with ``doc_a < doc_b``, and every run is excised from the
+    ``doc_b`` side of every pair it appears in, so exactly the
+    lexicographically-smallest holder keeps its copy. Within-doc repeats
+    (the same doc repeating its own run) are out of scope — the pair table
+    is strictly cross-document.
+
+    Returns one row per input document: (doc_id, clean_text,
+    n_tokens_removed). ``clean_text`` is the surviving tokens of the
+    whitespace token stream re-joined with single spaces (the rewrite is
+    defined over the SAME token positions the spans are defined on; span
+    matching lowercases, reconstruction keeps original case — lowercasing
+    never changes where whitespace falls, so positions align).
+
+    Plan shape: the excise set (junior-side intervals) is tiny relative to
+    the corpus, so everything heavy stays on the slim side — one window +
+    one groupBy over the interval rows keyed by doc (classic
+    gaps-and-islands overlap merge, giving DISJOINT intervals so
+    n_tokens_removed is exact), one groupBy packing intervals to an array
+    per doc, then a join back to the corpus that AQE broadcasts (dup-doc
+    side is small). The rebuild is narrow: a single indexed higher-order
+    ``filter`` with an ``exists`` probe over each doc's (few) intervals —
+    no explode, no per-token shuffle, no Python."""
+    if spans is None:
+        spans = duplicate_token_spans(df, id_col, text_col, n,
+                                      max_docs_per_shingle)
+    exc = spans.select(
+        F.col("doc_b").alias("id"), F.col("start_b").alias("s"),
+        (F.col("start_b") + F.col("len_tokens") - 1).alias("e"))
+    w = Window.partitionBy("id").orderBy("s", "e")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = exc.withColumn(
+        "brk",
+        F.when(F.col("s") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0))
+    merged = (
+        marked.withColumn("g", F.sum("brk").over(w))
+        .groupBy("id", "g")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    iv = merged.groupBy("id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("__removed"))
+    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit(""))
+    base = _spread(df).select(
+        F.col(id_col).cast("string").alias("doc_id"), toks.alias("__w"))
+    joined = base.join(iv, base["doc_id"] == iv["id"], "left").drop("id")
+    ivs = F.coalesce(F.col("__ivs"),
+                     F.array().cast("array<struct<s:bigint,e:bigint>>"))
+    kept = F.filter(
+        F.col("__w"),
+        lambda t, i: ~F.exists(ivs, lambda p: (i >= p["s"]) & (i <= p["e"])))
+    return joined.select(
+        "doc_id",
+        F.coalesce(F.array_join(kept, " "), F.lit("")).alias("clean_text"),
+        F.coalesce(F.col("__removed"), F.lit(0)).cast("long")
+        .alias("n_tokens_removed"))

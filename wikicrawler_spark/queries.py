@@ -3374,6 +3374,106 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 """
 
 
+def q_duplicate_span_removal(spark, sf_dir):
+    """Lee et al. 2021 step 2: rewrite the corpus excising every duplicated
+    >=8-token run from its junior copies (keep-minimum-doc-id). Consumes
+    the duplicate_spans pair table; one gaps-and-islands overlap merge over
+    the (tiny) junior-interval set, an AQE-broadcast join back to the
+    corpus, and a narrow indexed higher-order filter rebuild — no explode,
+    no per-token shuffle. One row per input doc: (doc_id, clean_text,
+    n_tokens_removed)."""
+    return D.remove_duplicate_spans(_docs_text(spark, sf_dir), n=8,
+                                    max_docs_per_shingle=50)
+
+
+ORACLE_DUPLICATE_SPAN_REMOVAL = f"""
+WITH spans AS ({ORACLE_DUPLICATE_SPANS}),
+exc AS (
+  SELECT doc_b AS id, start_b AS s, start_b + len_tokens - 1 AS e FROM spans
+), marked AS (
+  SELECT id, s, e,
+         CASE WHEN s > coalesce(max(e) OVER (
+                  PARTITION BY id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS brk
+  FROM exc
+), merged AS (
+  SELECT id, min(s) AS s, max(e) AS e
+  FROM (SELECT id, s, e,
+               sum(brk) OVER (PARTITION BY id ORDER BY s, e) AS g
+        FROM marked)
+  GROUP BY id, g
+), tokd AS (
+  SELECT doc_id::VARCHAR AS id,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+), tok AS (
+  SELECT id, (i - 1)::BIGINT AS pos, w[i] AS t
+  FROM tokd, unnest(range(1, len(w) + 1)) AS u(i)
+), kept AS (
+  SELECT tok.id, pos, t
+  FROM tok LEFT JOIN merged m ON tok.id = m.id AND pos BETWEEN m.s AND m.e
+  WHERE m.id IS NULL
+), agg AS (
+  SELECT id, string_agg(t, ' ' ORDER BY pos) AS clean_text FROM kept GROUP BY id
+), removed AS (
+  SELECT id, sum(e - s + 1)::BIGINT AS nrm FROM merged GROUP BY id
+)
+SELECT tokd.id AS doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(r.nrm, 0)::BIGINT AS n_tokens_removed
+FROM tokd LEFT JOIN agg a ON a.id = tokd.id
+          LEFT JOIN removed r ON r.id = tokd.id
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape (local-supplier volume): the multi-way star join.
+    Broadcast hints only where they hold at 100 TB — supplier (SF*10k
+    rows), nation and region (fixed 25/5) — while the customer join (a
+    LARGE dimension, SF*150k) is left to AQE: at bench scale it broadcasts
+    at runtime, at cluster scale it shuffle-joins on the cust key. The
+    c_nationkey = s_nationkey correlation applies as a post-join filter
+    once both sides are attached."""
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA") \
+        .select("r_regionkey")
+    nt = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nt), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5 = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders   ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+                           AND c_nationkey = s_nationkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
 # ------------------------------------------------------------- registry
 
 def queries() -> dict:
@@ -3444,17 +3544,19 @@ def queries() -> dict:
         "word_freq_treebank": q_word_freq_treebank,
         "sentence_sentiment": q_sentence_sentiment,
         # -- new in round 5 (second half): substring-level exact dedup
-        #    (Lee et al. 2021 capability as a bounded shingle equi-join),
-        #    SemDeDup-style survivor set over the oracled LSH blocking,
-        #    and TPC-H Q3/Q6 shapes (top-k join funnel + pushdown probe) --
+        #    (Lee et al. 2021 capability as a bounded shingle equi-join)
+        #    plus the corpus rewrite that consumes it, SemDeDup-style
+        #    survivor set over the oracled LSH blocking, and TPC-H
+        #    Q3/Q5/Q6 shapes (top-k join funnel, multi-way star join,
+        #    pushdown probe) --
         "duplicate_spans": q_duplicate_spans,
+        "duplicate_span_removal": q_duplicate_span_removal,
         "semantic_dedup": q_semantic_dedup,
         "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         # -- r3-green, kept in-window to fill to 50 --
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_near_dups_recall": q_embedding_near_dups_recall,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "pdf_layout_spans": q_pdf_layout_spans,
         # -- new in round 4: multimodal decode plane, driver-oracled --
         "media_decode": q_media_decode,
@@ -3462,11 +3564,15 @@ def queries() -> dict:
         # -- r4-green, deps untouched in r5: rotated out to make window
         #    room for the second and third streaming rows
         #    (stream_dedup_replay, stream_windows_replay) and (second half)
-        #    for duplicate_spans/semantic_dedup/tpch_q3/tpch_q6 --
+        #    for duplicate_spans/duplicate_span_removal/semantic_dedup/
+        #    tpch_q3/tpch_q5/tpch_q6 (fingerprints re-verified against the
+        #    r4-closeout tree before each rotation) --
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "lsh_ann_recall": q_lsh_ann_recall,
         "ivf_ann_recall": q_ivf_ann_recall,
+        "embedding_near_dups_recall": q_embedding_near_dups_recall,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
@@ -3546,8 +3652,10 @@ def oracle_sql() -> dict:
         "embedding_near_dups": ORACLE_EMB_NEAR_DUPS,
         "embedding_near_dups_recall": _oracle_emb_recall(),
         "duplicate_spans": ORACLE_DUPLICATE_SPANS,
+        "duplicate_span_removal": ORACLE_DUPLICATE_SPAN_REMOVAL,
         "semantic_dedup": _oracle_semantic_dedup(),
         "tpch_q3": ORACLE_TPCH_Q3,
+        "tpch_q5": ORACLE_TPCH_Q5,
         "tpch_q6": ORACLE_TPCH_Q6,
         "pdf_layout_spans": ORACLE_PDF_LAYOUT,
         "media_decode": _oracle_media_decode(),
