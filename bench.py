@@ -76,6 +76,7 @@ HEADLINE = [
     "semantic_dedup",           # SemDeDup survivor set over LSH blocking (r5)
     "tpch_q3",                  # top-k join funnel (r5)
     "tpch_q5",                  # multi-way star join (r5)
+    "tpch_q6",                  # pushdown/codegen probe (r5)
 ]
 
 

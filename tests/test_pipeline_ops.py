@@ -728,3 +728,25 @@ def test_remove_duplicate_spans_vs_spans_table(spark):
         kept = r["clean_text"].split() if r["clean_text"] else []
         assert len(kept) + r["n_tokens_removed"] == len(orig)
         assert (r["n_tokens_removed"] > 0) == (r["doc_id"] in juniors)
+
+
+def test_verify_token_spans_drops_forged(spark):
+    """The collision guard: a forged span whose two token slices do NOT
+    match verbatim (what a 60-bit shingle-hash collision would produce)
+    must be dropped, while every genuine span survives unchanged."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [("a", f"{shared} one two three"),
+            ("b", f"zero {shared} four five")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    genuine = D.duplicate_token_spans(df, n=8, verify=False)
+    forged = spark.createDataFrame(
+        [("a", "b", 10, 11, 3)],   # 'one two three' vs 'four five' + OOB
+        "doc_a string, doc_b string, start_a long, start_b long, "
+        "len_tokens long")
+    out = {tuple(r) for r in D._verify_token_spans(
+        genuine.unionByName(forged), df, "doc_id", "text").collect()}
+    assert out == {tuple(r) for r in genuine.collect()}
+    assert ("a", "b", 10, 11, 3) not in out
+    # and the default path (verify=True) equals the verified set
+    assert {tuple(r) for r in D.duplicate_token_spans(df, n=8).collect()} \
+        == out

@@ -347,6 +347,17 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _ws_tokens(col, lower: bool = True):
+    """Whitespace token array; ``lower`` controls case folding. The span
+    pipeline's position consumers (positional_shingles, the verify stage,
+    and remove_duplicate_spans' rebuild) MUST share this exact expression:
+    token positions are only meaningful against one tokenization, and
+    lowering never moves whitespace, so the lower=True and lower=False
+    streams are position-aligned by construction."""
+    base = F.lower(col) if lower else col
+    return F.filter(F.split(base, "\\s+"), lambda t: t != F.lit(""))
+
+
 def positional_shingles(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 8) -> DataFrame:
     """(id, pos, h) rows: the 60-bit hash of the n-token shingle STARTING at
@@ -357,10 +368,8 @@ def positional_shingles(df: DataFrame, id_col: str = "doc_id",
     shingle_table), posexplode carries the position, and only the slim
     (id, pos, 8-byte hash) rows ever leave the stage — the n-token shingle
     strings themselves never shuffle."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"),
-                    lambda t: t != F.lit(""))
     tmp = _spread(df).select(F.col(id_col).cast("string").alias("id"),
-                             toks.alias("__w"))
+                             _ws_tokens(F.col(text_col)).alias("__w"))
     idx = F.when(
         F.size("__w") >= n, F.sequence(F.lit(0), F.size("__w") - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -376,7 +385,8 @@ def positional_shingles(df: DataFrame, id_col: str = "doc_id",
 def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", n: int = 8,
                           max_docs_per_shingle: int = 50,
-                          materialize: bool = True) -> DataFrame:
+                          materialize: bool = True,
+                          verify: bool = True) -> DataFrame:
     """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
     Training Data Makes Language Models Better" capability, re-expressed as
     a bounded shingle equi-join instead of a suffix array): find every
@@ -406,6 +416,9 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
       5. gaps-and-islands merge per (pair, pa-pb diagonal): consecutive pa
          runs collapse via the row_number trick, one window shuffle keyed by
          (doc_a, doc_b, diag).
+      6. exact verify (``verify=True``): both sides' verbatim token slices
+         re-digested at 128 bits and compared, so 60-bit shingle-hash
+         collisions cannot fake a span (see ``_verify_token_spans``).
     At 100 TB the dominant cost is step 4's join, bounded by
     sum_over_hot_shingles(occurrences^2) — explicitly capped by step 2.
     """
@@ -432,11 +445,54 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
     runs = pairs.withColumn("grp", F.col("pa") - F.row_number().over(w))
-    return (
+    spans = (
         runs.groupBy("doc_a", "doc_b", "diag", "grp")
         .agg(F.min("pa").alias("start_a"), F.min("pb").alias("start_b"),
              (F.count("*") + F.lit(n - 1)).cast("long").alias("len_tokens"))
         .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
+    )
+    if verify:
+        spans = _verify_token_spans(spans, df, id_col, text_col)
+    return spans
+
+
+def _verify_token_spans(spans: DataFrame, df: DataFrame, id_col: str,
+                        text_col: str) -> DataFrame:
+    """Guard against 60-bit shingle-hash collisions (the sibling ops'
+    exact-verify stage, at span granularity): a colliding pair of distinct
+    shingles would fake a duplicate span whose excision silently deletes
+    real content, and at 10^12 distinct shingles the birthday bound makes
+    that a certainty, not a tail risk. Keep only spans whose two verbatim
+    (lowercased) token slices produce the same 128-bit digest — the
+    space-join is injective (tokens cannot contain whitespace), so digest
+    equality is slice equality modulo md5. A false-positive span verifies
+    as a dropped span, never as a wrong excision; the conservative failure
+    mode (a genuine run glued to a colliding neighbor on the same diagonal
+    drops whole) is a missed dup, not deleted content.
+
+    Plan shape: span endpoints fan to two slim (key, id, st) sides; ONE
+    corpus-token projection streams past them (AQE builds the hash table
+    on the endpoint side), the slice digest computes map-side, and the
+    only new exchange is the tiny groupBy on the span key."""
+    key = ["doc_a", "doc_b", "start_a", "start_b", "len_tokens"]
+    sides = (
+        spans.select(*key, F.col("doc_a").alias("id"),
+                     F.col("start_a").alias("st"))
+        .unionByName(spans.select(*key, F.col("doc_b").alias("id"),
+                                  F.col("start_b").alias("st")))
+    )
+    toks = _spread(df).select(F.col(id_col).cast("string").alias("id"),
+                              _ws_tokens(F.col(text_col)).alias("__w"))
+    digest = F.md5(F.array_join(
+        F.slice(F.col("__w"), F.col("st").cast("int") + 1,
+                F.col("len_tokens").cast("int")), " "))
+    return (
+        sides.join(toks, "id")
+        .select(*key, digest.alias("__d"))
+        .groupBy(*key)
+        .agg(F.count_distinct("__d").alias("__nd"), F.count("*").alias("__n"))
+        .filter((F.col("__n") == 2) & (F.col("__nd") == 1))
+        .select(*key)
     )
 
 
@@ -488,9 +544,9 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     iv = merged.groupBy("id").agg(
         F.array_sort(F.collect_list(F.struct("s", "e"))).alias("__ivs"),
         F.sum(F.col("e") - F.col("s") + 1).alias("__removed"))
-    toks = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != F.lit(""))
     base = _spread(df).select(
-        F.col(id_col).cast("string").alias("doc_id"), toks.alias("__w"))
+        F.col(id_col).cast("string").alias("doc_id"),
+        _ws_tokens(F.col(text_col), lower=False).alias("__w"))
     joined = base.join(iv, base["doc_id"] == iv["id"], "left").drop("id")
     ivs = F.coalesce(F.col("__ivs"),
                      F.array().cast("array<struct<s:bigint,e:bigint>>"))

@@ -3255,10 +3255,21 @@ WITH toks AS (
          pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
                                  ORDER BY pa) AS grp
   FROM m
+), merged_spans AS (
+  SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
+         (count(*) + 7)::BIGINT AS len_tokens
+  FROM runs GROUP BY doc_a, doc_b, diag, grp
 )
-SELECT doc_a, doc_b, min(pa) AS start_a, min(pb) AS start_b,
-       (count(*) + 7)::BIGINT AS len_tokens
-FROM runs GROUP BY doc_a, doc_b, diag, grp
+-- exact verify (replays _verify_token_spans): both verbatim lowercased
+-- token slices must agree, so 60-bit shingle-hash collisions cannot fake
+-- a span. Direct list equality here == the engine's 128-bit slice digest
+-- comparison, modulo md5.
+SELECT s.doc_a, s.doc_b, s.start_a, s.start_b, s.len_tokens
+FROM merged_spans s
+JOIN toks ta ON ta.id = s.doc_a
+JOIN toks tb ON tb.id = s.doc_b
+WHERE ta.w[s.start_a + 1 : s.start_a + s.len_tokens]
+    = tb.w[s.start_b + 1 : s.start_b + s.len_tokens]
 """
 
 
@@ -3308,9 +3319,11 @@ FROM embeddings WHERE vec_id NOT IN (SELECT id_b FROM drops)
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3 shape (shipping-priority top-k) on the testdata star schema:
     selective dimension filter -> fact join -> grouped revenue -> global
-    top-10. The customer side is broadcast (dimension after a segment
-    filter); the orders-lineitem join shuffles on the order key; the
-    top-10 is TakeOrderedAndProject, never a full sort."""
+    top-10. The segment-filtered customer side is left to AQE (same
+    policy as q_tpch_q5: still SF*30k rows after the filter — broadcast
+    at bench scale, shuffle join on a cluster); the orders-lineitem join
+    shuffles on the order key; the top-10 is TakeOrderedAndProject,
+    never a full sort."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = load(spark, sf_dir, "orders").filter(
@@ -3321,7 +3334,7 @@ def q_tpch_q3(spark, sf_dir):
         "l_orderkey", "l_extendedprice", "l_discount")
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
              .alias("revenue"))
