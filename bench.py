@@ -77,6 +77,7 @@ HEADLINE = [
     "tpch_q3",                  # top-k join funnel (r5)
     "tpch_q5",                  # multi-way star join (r5)
     "tpch_q6",                  # pushdown/codegen probe (r5)
+    "span_clean_corpus",        # composed Lee-et-al. pipeline (r5 final)
 ]
 
 

@@ -750,3 +750,42 @@ def test_verify_token_spans_drops_forged(spark):
     # and the default path (verify=True) equals the verified set
     assert {tuple(r) for r in D.duplicate_token_spans(df, n=8).collect()} \
         == out
+
+
+def test_span_clean_corpus_composition(spark):
+    """span_clean_corpus == the curate funnel's survivor set fed through
+    remove_duplicate_spans: doc-level dedup first (whole near-copies gone),
+    then substring excision of the boilerplate runs that survive it."""
+    from wikicrawler_spark.pipeline.curate import curate_corpus
+
+    boiler = ("this content is licensed under the terms of the free "
+              "documentation license see the license page for details")
+    mk = lambda i, body: (f"d{i}", f"{body} {boiler}")
+    rows = [
+        mk(0, "the river flows from the mountain to the sea and it is "
+              "long and wide with many fish living in the cold water "
+              "near the old stone bridge by the mill " * 2),
+        mk(1, "a train was built in the city where people would ride "
+              "each morning to work and they read the news while the "
+              "engine moved them quickly over steel rails " * 2),
+        ("d2", "zz xx " * 40),  # fails quality gate, never reaches spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    survivors = curate_corpus(df).select("doc_id").join(df, "doc_id")
+    expect = {tuple(r) for r in D.remove_duplicate_spans(
+        survivors, n=8, max_docs_per_shingle=50).collect()}
+
+    from wikicrawler_spark import queries as QQ
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(os.path.join(td, "documents.parquet"))
+        got = {tuple(r) for r in
+               QQ.q_span_clean_corpus(spark, td).collect()}
+    assert got == expect
+    by_id = {t[0]: t for t in got}
+    assert "d2" not in by_id                      # gated out pre-spans
+    assert {"d0", "d1"} <= set(by_id)             # both docs survive curation
+    # the junior copy (d1) loses the shared boilerplate run, d0 keeps it
+    assert by_id["d1"][2] > 0 and boiler not in by_id["d1"][1]
+    assert by_id["d0"][2] == 0 and boiler in by_id["d0"][1]

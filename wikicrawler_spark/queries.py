@@ -3230,12 +3230,18 @@ def q_duplicate_spans(spark, sf_dir):
                                    max_docs_per_shingle=50)
 
 
-ORACLE_DUPLICATE_SPANS = f"""
+def _oracle_duplicate_spans(src: str = "documents",
+                            id_sql: str = "doc_id::VARCHAR") -> str:
+    """DuckDB replay of duplicate_token_spans, parameterized on the input
+    relation so composed oracles (span_clean_corpus) can point the whole
+    span pipeline at a CTE of curated survivors instead of raw
+    documents."""
+    return f"""
 WITH toks AS (
-  SELECT doc_id::VARCHAR AS id,
+  SELECT {id_sql} AS id,
          list_filter(regexp_split_to_array(lower(text), '\\s+'),
                      x -> x <> '') AS w
-  FROM documents
+  FROM {src}
 ), sh AS (
   SELECT id, (i - 1)::BIGINT AS pos,
          {_SQL_H60.format(
@@ -3271,6 +3277,9 @@ JOIN toks tb ON tb.id = s.doc_b
 WHERE ta.w[s.start_a + 1 : s.start_a + s.len_tokens]
     = tb.w[s.start_b + 1 : s.start_b + s.len_tokens]
 """
+
+
+ORACLE_DUPLICATE_SPANS = _oracle_duplicate_spans()
 
 
 def q_semantic_dedup(spark, sf_dir):
@@ -3399,8 +3408,15 @@ def q_duplicate_span_removal(spark, sf_dir):
                                     max_docs_per_shingle=50)
 
 
-ORACLE_DUPLICATE_SPAN_REMOVAL = f"""
-WITH spans AS ({ORACLE_DUPLICATE_SPANS}),
+def _oracle_span_removal(src: str = "documents",
+                         id_sql: str = "doc_id::VARCHAR",
+                         prelude: str = "") -> str:
+    """DuckDB replay of remove_duplicate_spans over ``src``. ``prelude``
+    lets a composed oracle prepend CTEs (e.g. the curated survivor set)
+    that ``src`` refers to — outer CTEs are in scope inside the nested
+    spans subquery."""
+    return f"""
+WITH {prelude}spans AS ({_oracle_duplicate_spans(src, id_sql)}),
 exc AS (
   SELECT doc_b AS id, start_b AS s, start_b + len_tokens - 1 AS e FROM spans
 ), marked AS (
@@ -3417,9 +3433,9 @@ exc AS (
         FROM marked)
   GROUP BY id, g
 ), tokd AS (
-  SELECT doc_id::VARCHAR AS id,
+  SELECT {id_sql} AS id,
          list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
-  FROM documents
+  FROM {src}
 ), tok AS (
   SELECT id, (i - 1)::BIGINT AS pos, w[i] AS t
   FROM tokd, unnest(range(1, len(w) + 1)) AS u(i)
@@ -3437,6 +3453,40 @@ SELECT tokd.id AS doc_id, coalesce(a.clean_text, '') AS clean_text,
 FROM tokd LEFT JOIN agg a ON a.id = tokd.id
           LEFT JOIN removed r ON r.id = tokd.id
 """
+
+
+ORACLE_DUPLICATE_SPAN_REMOVAL = _oracle_span_removal()
+
+
+def q_span_clean_corpus(spark, sf_dir):
+    """The full Lee et al. 2021 pipeline COMPOSED into corpus production:
+    curation funnel (quality/language gates -> exact prefix dedup ->
+    MinHash-LSH near-dup removal) -> substring-level span dedup across the
+    survivors -> corpus rewrite excising every duplicated >=8-token run
+    from its junior copies. Doc-level dedup removes whole near-copies;
+    the span stage then removes the verbatim boilerplate runs that SURVIVE
+    doc-level dedup (templates, license blocks, navigation text shared by
+    otherwise-distinct pages) — the combination is what an LLM training
+    corpus actually ships. One declarative plan: the survivor set is the
+    curate funnel's already-staged output, so the span pipeline's two
+    corpus scans read the (smaller) survivor table, never raw documents.
+    One row per surviving doc: (doc_id, clean_text, n_tokens_removed)."""
+    from .pipeline.curate import curate_corpus
+
+    docs = _docs_text(spark, sf_dir)
+    survivors = curate_corpus(docs).select("doc_id").join(docs, "doc_id")
+    return D.remove_duplicate_spans(survivors, n=8, max_docs_per_shingle=50)
+
+
+def _oracle_span_clean_corpus() -> str:
+    prelude = f"""curated AS ({_oracle_curate()}),
+survivors AS (
+  SELECT d.doc_id::VARCHAR AS doc_id, d.text
+  FROM documents d JOIN curated c ON c.doc_id = d.doc_id::VARCHAR
+),
+"""
+    return _oracle_span_removal(src="survivors", id_sql="doc_id",
+                                prelude=prelude)
 
 
 def q_tpch_q5(spark, sf_dir):
@@ -3564,12 +3614,12 @@ def queries() -> dict:
         #    pushdown probe) --
         "duplicate_spans": q_duplicate_spans,
         "duplicate_span_removal": q_duplicate_span_removal,
+        "span_clean_corpus": q_span_clean_corpus,
         "semantic_dedup": q_semantic_dedup,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
         # -- r3-green, kept in-window to fill to 50 --
-        "embedding_near_dups": q_embedding_near_dups,
         "pdf_layout_spans": q_pdf_layout_spans,
         # -- new in round 4: multimodal decode plane, driver-oracled --
         "media_decode": q_media_decode,
@@ -3586,6 +3636,11 @@ def queries() -> dict:
         "ivf_ann_recall": q_ivf_ann_recall,
         "embedding_near_dups_recall": q_embedding_near_dups_recall,
         "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        # -- r4-green, deps untouched since the r4 stamp (re-verified
+        #    against the r4 manifest before rotation): rotated out to make
+        #    window room for span_clean_corpus; the exact/LSH/recall
+        #    siblings above keep the embedding family driver-fresh --
+        "embedding_near_dups": q_embedding_near_dups,
         "media_frames": q_media_frames,
         "media_audio": q_media_audio,
         # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
@@ -3666,6 +3721,7 @@ def oracle_sql() -> dict:
         "embedding_near_dups_recall": _oracle_emb_recall(),
         "duplicate_spans": ORACLE_DUPLICATE_SPANS,
         "duplicate_span_removal": ORACLE_DUPLICATE_SPAN_REMOVAL,
+        "span_clean_corpus": _oracle_span_clean_corpus(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "tpch_q3": ORACLE_TPCH_Q3,
         "tpch_q5": ORACLE_TPCH_Q5,
