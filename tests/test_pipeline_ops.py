@@ -789,3 +789,31 @@ def test_span_clean_corpus_composition(spark):
     # the junior copy (d1) loses the shared boilerplate run, d0 keeps it
     assert by_id["d1"][2] > 0 and boiler not in by_id["d1"][1]
     assert by_id["d0"][2] == 0 and boiler in by_id["d0"][1]
+
+
+def test_duplicate_spans_fuzz_vs_python(spark):
+    """Hypothesis fuzz: on random small-vocabulary corpora (where shared
+    runs, within-doc repeats, adjacent-diagonal islands, and hot-shingle
+    caps all arise naturally), the full engine pipeline — shingle join,
+    gaps-and-islands merge, AND the 128-bit slice verify — must equal the
+    hash-free O(n^2) python reference exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    vocab = ["ash", "birch", "cedar", "drift", "ember", "flint"]
+
+    @given(data=st.data())
+    @settings(max_examples=8, deadline=None)
+    def run(data):
+        n_docs = data.draw(st.integers(2, 5))
+        texts = {}
+        for i in range(n_docs):
+            toks = data.draw(st.lists(st.sampled_from(vocab),
+                                      min_size=6, max_size=24))
+            texts[f"d{i}"] = " ".join(toks)
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id string, text string")
+        got = {tuple(r) for r in D.duplicate_token_spans(
+            df, n=4, max_docs_per_shingle=3, materialize=False).collect()}
+        assert got == _py_dup_spans(texts, n=4, cap=3)
+
+    run()
