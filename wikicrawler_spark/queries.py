@@ -3472,9 +3472,19 @@ def q_span_clean_corpus(spark, sf_dir):
     corpus scans read the (smaller) survivor table, never raw documents.
     One row per surviving doc: (doc_id, clean_text, n_tokens_removed)."""
     from .pipeline.curate import curate_corpus
+    from .staging import stage_dir
 
     docs = _docs_text(spark, sf_dir)
     survivors = curate_corpus(docs).select("doc_id").join(docs, "doc_id")
+    # explicit staging boundary (the training_corpus pattern): the span
+    # pipeline scans its input several times (shingle pass, verify pass,
+    # rebuild) and Spark has no cross-branch subplan CSE — without the
+    # boundary each scan re-executes the survivor join against raw
+    # documents. Staged, every downstream scan reads the (smaller)
+    # survivor table; unique path per invocation, removed at process exit.
+    stage = stage_dir("wcs_span_clean_survivors")
+    survivors.write.mode("overwrite").parquet(stage)
+    survivors = spark.read.parquet(stage)
     return D.remove_duplicate_spans(survivors, n=8, max_docs_per_shingle=50)
 
 
