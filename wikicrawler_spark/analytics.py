@@ -164,9 +164,17 @@ def word_freq(doc_text_df: DataFrame, text_col: str = "body") -> DataFrame:
     """A5: per-doc token counts after the blacklist filter (FreqDist,
     paragraph.py:80-81). Hash aggregation with partial+final combine.
     Returns (doc_id, token, cnt)."""
+    # explode_OUTER + null filter: a plain explode triggers
+    # InferFiltersFromGenerate, whose `size(toks) > 0` guard inlines the
+    # whole tokenize+blacklist expression into a pushed-down filter — every
+    # doc then pays regexp_extract_all + the rlike blacklist scan twice
+    # more, below any exchange (see pipeline.dedup.shingle_table). Tokens
+    # are never NULL, so the null check drops exactly the empty-doc
+    # padding rows.
     toks = filtered_tokens_col(tokens_col(F.col(text_col)))
     return (
-        doc_text_df.select("doc_id", F.explode(toks).alias("token"))
+        doc_text_df.select("doc_id", F.explode_outer(toks).alias("token"))
+        .filter(F.col("token").isNotNull())
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("cnt"))
     )
@@ -218,9 +226,14 @@ def _llr(n_ii: Column, n_ix: Column, n_xi: Column, n_xx: Column) -> Column:
 def _positioned_tokens(doc_text_df: DataFrame, text_col: str) -> DataFrame:
     """(doc_id, pos, token) from UNfiltered tokens (collocations use raw
     token stream, paragraph.py:84)."""
+    # posexplode_OUTER + pos-null filter: see word_freq — the inferred
+    # generate guard would re-run regexp_extract_all per doc in a
+    # pushed-down filter. Padding rows (empty docs) have NULL pos; real
+    # tokens always carry one.
     return doc_text_df.select(
-        "doc_id", F.posexplode(tokens_col(F.col(text_col))).alias("pos", "token")
-    )
+        "doc_id",
+        F.posexplode_outer(tokens_col(F.col(text_col))).alias("pos", "token"),
+    ).filter(F.col("pos").isNotNull())
 
 
 def bigram_collocations(doc_text_df: DataFrame, text_col: str = "body",

@@ -101,16 +101,27 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     reuses a precomputed token-array attribute (see word_shingles)."""
     arr = word_shingles(F.col(text_col), n,
                         toks=F.col(tokens_col) if tokens_col else None)
+    # OUTER generate + post-filter ON PURPOSE (both branches): a plain
+    # explode triggers InferFiltersFromGenerate, which guards the generate
+    # with `size(arr) > 0 AND isnotnull(arr)` — and predicate pushdown then
+    # INLINES the whole shingle-building expression into that filter and
+    # pushes it below the _spread exchange, so every doc pays the full
+    # tokenize+transform+distinct TWICE more, serially on the pre-shuffle
+    # partitions (measured 15x on positional_shingles, same shape here).
+    # explode_outer infers no such filter; the padding row an empty array
+    # produces (NULL element) is dropped by a per-row null check after the
+    # generate. Shingle strings are never NULL (array_join of non-null
+    # tokens), so the null filter removes exactly the padding rows.
+    tmp = df.select(F.col(id_col).alias("id"), arr.alias("__arr"))
     if with_size:
-        # two-step projection ON PURPOSE: 'arr' must be an attribute before
-        # size() and explode() both reference it — CollapseProject keeps a
-        # multiply-referenced alias un-inlined, so the shingle array is
-        # built once per DOC. Inlining the expression into both slots makes
-        # the generator recompute it per exploded ROW (measured 30x).
-        tmp = df.select(F.col(id_col).alias("id"), arr.alias("__arr"))
-        return tmp.select("id", F.size("__arr").alias("sz"),
-                          F.explode("__arr").alias("shingle"))
-    return df.select(F.col(id_col).alias("id"), F.explode(arr).alias("shingle"))
+        # 'arr' as an attribute before size() and explode() both reference
+        # it — CollapseProject keeps a multiply-referenced alias
+        # un-inlined, so the shingle array is built once per DOC.
+        return (tmp.select("id", F.size("__arr").alias("sz"),
+                           F.explode_outer("__arr").alias("shingle"))
+                .filter(F.col("shingle").isNotNull()))
+    return (tmp.select("id", F.explode_outer("__arr").alias("shingle"))
+            .filter(F.col("shingle").isNotNull()))
 
 
 def _verify_jaccard(cands: DataFrame, shz: DataFrame,
@@ -376,10 +387,16 @@ def positional_shingles(df: DataFrame, id_col: str = "doc_id",
     arr = F.transform(
         idx, lambda i: F.array_join(F.slice(F.col("__w"), i + 1, n), " "))
     staged = tmp.select("id", arr.alias("__sh"))
+    # posexplode_OUTER + pos-null filter: see shingle_table — the inferred
+    # generate guard would otherwise re-evaluate the whole shingle
+    # construction twice per doc below the _spread exchange (measured 15x
+    # on this function). The padding row of an empty array has NULL pos;
+    # real elements always carry one.
     return staged.select(
-        "id", F.posexplode("__sh").alias("pos", "shingle")
-    ).select("id", F.col("pos").cast("long").alias("pos"),
-             _h60(F.col("shingle")).alias("h"))
+        "id", F.posexplode_outer("__sh").alias("pos", "shingle")
+    ).filter(F.col("pos").isNotNull()).select(
+        "id", F.col("pos").cast("long").alias("pos"),
+        _h60(F.col("shingle")).alias("h"))
 
 
 def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",

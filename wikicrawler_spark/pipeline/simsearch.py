@@ -126,15 +126,22 @@ def ivf_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                 iterations=iterations, seed=seed)
     c_assign = _ivf_assign_udf(cents, top=1)
     q_assign = _ivf_assign_udf(cents, top=nprobe)
+    # explode_OUTER + null filter: a plain explode's inferred
+    # `size(assign(v)) > 0` guard is extracted as its OWN ArrowEvalPython
+    # node, so the assignment UDF ran twice per side (guide §4.4 shape).
+    # Cell ids are never NULL, so the null check drops exactly the padding
+    # rows of empty assignment arrays (which cannot occur anyway).
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
-        .withColumn("cell", F.explode(c_assign(F.col("cv"))))
+        .withColumn("cell", F.explode_outer(c_assign(F.col("cv"))))
+        .filter(F.col("cell").isNotNull())
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
-        .withColumn("cell", F.explode(q_assign(F.col("qv"))))
+        .withColumn("cell", F.explode_outer(q_assign(F.col("qv"))))
+        .filter(F.col("cell").isNotNull())
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -186,8 +193,18 @@ def embedding_near_duplicates(df: DataFrame, threshold: float = 0.4,
         # ~dim*8-byte vectors would otherwise ride through both shuffles
         # n_tables times); vectors re-attach to the surviving pairs below
         # (AQE broadcasts the vector side when it fits)
-        t = c.withColumn("buckets", bucketer(F.col("v"))).select(
-            "id", F.posexplode("buckets").alias("table_idx", "bucket"))
+        # posexplode_OUTER + pos-null filter: the inferred `size(buckets)>0`
+        # generate guard is extracted as a SECOND ArrowEvalPython below the
+        # filter, doubling the bucket UDF per join side (guide §4.4 shape).
+        # localCheckpoint the slim (id, table, bucket) index so the bucket
+        # UDF runs ONCE for the self-join instead of once per side — this
+        # is the LSH index table a production system materializes anyway
+        # (tiny vs the vectors: 3 ints/row x n_tables).
+        t = (c.withColumn("buckets", bucketer(F.col("v")))
+             .select("id",
+                     F.posexplode_outer("buckets").alias("table_idx", "bucket"))
+             .filter(F.col("table_idx").isNotNull())
+             .localCheckpoint(eager=True))
         a = t.select(F.col("id").alias("id_a"), "table_idx", "bucket")
         b = t.select(F.col("id").alias("id_b"), "table_idx", "bucket")
         pairs = (
@@ -247,19 +264,24 @@ def lsh_cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     for the recall/candidate-rate trade (P up => fewer candidates, L up =>
     higher recall)."""
     bucketer = bucket_udf(dim, n_planes, n_tables, seed)
+    # posexplode_OUTER + pos-null filter on both sides: the inferred
+    # `size(buckets) > 0` generate guard is otherwise extracted as a second
+    # ArrowEvalPython, doubling the bucket UDF per side (guide §4.4 shape).
     c = (
         corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
         .withColumn("buckets", bucketer(F.col("cv")))
         .select("neighbor_id", "cv",
-                F.posexplode("buckets").alias("table_idx", "bucket"))
+                F.posexplode_outer("buckets").alias("table_idx", "bucket"))
+        .filter(F.col("table_idx").isNotNull())
     )
     q = (
         queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qv"))
         .withColumn("buckets", bucketer(F.col("qv")))
         .select("query_id", "qv",
-                F.posexplode("buckets").alias("table_idx", "bucket0"))
+                F.posexplode_outer("buckets").alias("table_idx", "bucket0"))
+        .filter(F.col("table_idx").isNotNull())
     )
     if multiprobe:
         probes = F.array(

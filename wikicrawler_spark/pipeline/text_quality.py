@@ -277,8 +277,15 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
             lambda i: F.slice(F.col("__t"), i * stride + 1, chunk_tokens),
         ),
     ).otherwise(F.array().cast("array<array<string>>"))
+    # posexplode_OUTER + chunk_idx-null filter: a plain posexplode's
+    # inferred `size(windows) > 0` guard inlines the whole window-building
+    # transform into a pushed-down filter, re-slicing every doc's tokens
+    # twice more below any exchange (see pipeline.dedup.shingle_table).
+    # Padding rows (empty docs) carry NULL chunk_idx; real windows never do.
     return (
-        toked.select("doc_id", F.posexplode(windows).alias("chunk_idx", "__w"))
+        toked.select("doc_id",
+                     F.posexplode_outer(windows).alias("chunk_idx", "__w"))
+        .filter(F.col("chunk_idx").isNotNull())
         .select(
             "doc_id",
             F.col("chunk_idx").cast("int").alias("chunk_idx"),

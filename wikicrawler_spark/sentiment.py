@@ -111,9 +111,16 @@ def blended_word_sentiment(sent_df: DataFrame, sentence_col: str = "sentence",
         sent_df.withColumn("sent_score", score_udf(F.col(sentence_col)))
         .withColumn(
             "word",
-            F.explode(F.regexp_extract_all(F.col(sentence_col),
-                                           F.lit(TOKEN_PATTERN), F.lit(0))),
+            # explode_OUTER + null filter: a plain explode's inferred
+            # `size(...) > 0` guard re-runs regexp_extract_all per sentence
+            # in a pushed-down filter (see pipeline.dedup.shingle_table);
+            # extracted words are never NULL, so the null check drops
+            # exactly the empty-sentence padding rows.
+            F.explode_outer(F.regexp_extract_all(F.col(sentence_col),
+                                                 F.lit(TOKEN_PATTERN),
+                                                 F.lit(0))),
         )
+        .filter(F.col("word").isNotNull())
         .withColumn("word_score", score_udf(F.col("word")))
     )
     blend = F.struct(
