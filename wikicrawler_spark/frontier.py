@@ -105,7 +105,13 @@ def _write_visited_bucketed(spark, df: DataFrame, path: str,
     )
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     (
-        df.write.mode("overwrite").format("parquet")
+        # repartition on the bucket key first: a bucketed write emits one
+        # file per (task, bucket) pair, so writing straight from the
+        # union's ~(buckets + frontier) partitions sprayed O(P x buckets)
+        # tiny files per wave (guide §6 small-files). Clustered by doc_id
+        # into n_buckets tasks it writes ~one file per bucket.
+        df.repartition(n_buckets, F.col("doc_id"))
+        .write.mode("overwrite").format("parquet")
         .bucketBy(n_buckets, "doc_id").sortBy("doc_id")
         .option("path", path).saveAsTable(tbl)
     )
@@ -136,7 +142,7 @@ def crawl(
     when ``ckpt_dir`` is set they are re-read from the checkpoint parquet so
     the logical plan does not grow with wave count).
     """
-    from .bloom import BloomFilter, build_bloom
+    from .bloom import NativeBloom
 
     start_wave = 0
     spans_parts: list[DataFrame] = []
@@ -175,12 +181,14 @@ def crawl(
     # anti-join stays authoritative).
     bloom = None
     if use_bloom:
-        bloom = BloomFilter(max((n_visited_start + len(seeds)) * 8, 65536),
+        # NativeBloom (VERDICT r5 #2): JVM bit_or word aggregation build
+        # (no per-partition bitset collect), codegen probe (no Python on
+        # the candidate-prune path). Geometry still fixed up front so each
+        # wave ORs in only the new frontier.
+        bloom = NativeBloom(max((n_visited_start + len(seeds)) * 8, 65536),
                             bloom_fpr)
         if n_visited_start:
-            seeded = build_bloom(visited, "doc_id", 1, bloom_fpr,
-                                 n_bits=bloom.n_bits, k=bloom.k)
-            bloom.merge(seeded)
+            bloom.merge_from(visited, "doc_id")
 
     # aux writer pool: lineage/metrics appends run as concurrent Spark
     # jobs (scheduler-safe); drained in the finally below so a wave-loop
@@ -215,7 +223,12 @@ def crawl(
             join_side = F.broadcast(f_ids) if n_frontier <= broadcast_threshold else f_ids
             wave_docs = docs.join(join_side, "doc_id")
             if num_partitions:
-                wave_docs = salted_repartition(wave_docs, num_partitions, salt=wave)
+                # scale-adaptive task count (guide §2): a 2-doc seed wave
+                # must not fan into num_partitions near-empty kernel tasks
+                # (and as many checkpoint files); cap at ~4 docs/task and
+                # grow with the frontier up to the configured ceiling.
+                n_parts = max(1, min(num_partitions, (n_frontier + 3) // 4))
+                wave_docs = salted_repartition(wave_docs, n_parts, salt=wave)
 
             spans = run_extract(spark, wave_docs)
 
@@ -241,9 +254,9 @@ def crawl(
             visited_now = visited.select("doc_id").unionByName(frontier.select("doc_id"))
 
             if bloom is not None:
-                # OR in just this wave's frontier ids (distributed partial build)
-                bloom.merge(build_bloom(frontier, "doc_id", 1, bloom_fpr,
-                                        n_bits=bloom.n_bits, k=bloom.k))
+                # OR in just this wave's frontier ids (distributed JVM
+                # word aggregation; driver receives only the set words)
+                bloom.merge_from(frontier, "doc_id")
             _mark("bloom")
             nxt = anti_join_visited(candidates, visited_now, bloom=bloom, spark=spark)
             if per_wave_limit is not None:
