@@ -306,19 +306,22 @@ def minhash_near_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per doc (Charikar): token-count weighted bit votes,
-    fully native — 64 conditional SUM aggregations in one shuffle, packed
-    with shiftleft/bitwise-or. Returns (id, simhash bigint)."""
+    fully native — 60 conditional SUM aggregations in ONE shuffle, packed
+    with shiftleft/bitwise-or. Votes sum ±1 per token OCCURRENCE directly
+    (identical integers to weighting distinct tokens by count), so the
+    former (id, tok) pre-count exchange is gone: partial aggregation
+    collapses each map partition to 60 longs per doc before the only
+    shuffle. Returns (id, simhash bigint)."""
     toks = _spread(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.lower(F.col(text_col)), "\\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    counted = toks.groupBy("id", "tok").agg(F.count("*").alias("w"))
-    hashed = counted.withColumn("h", _h60(F.col("tok")))
+    hashed = toks.withColumn("h", _h60(F.col("tok")))
     votes = hashed.groupBy("id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1,
-                       F.col("w")).otherwise(-F.col("w"))
+                       F.lit(1)).otherwise(F.lit(-1))
             ).alias(f"b{i}")
             for i in range(60)
         ]
