@@ -2833,21 +2833,40 @@ def q_stream_windows_replay(spark, sf_dir):
     in_dir = stage_dir("wcs_win_replay_in")
     os.makedirs(in_dir, exist_ok=True)
     mtime = 1_700_000_000  # fixed epoch: only the ORDER matters
+    # ONE partitioned write instead of three coalesce(1) writes: each of
+    # the old per-batch writes re-ran the global row_number sort over the
+    # whole events table (three full sorts, measured ~3x the construction
+    # wall); partitionBy("__b") splits the same sorted pass into the three
+    # batch files in a single job, then the files are renamed into
+    # mtime-ordered replay inputs exactly as before.
+    tmp = stage_dir("wcs_win_replay_tmp")
+    ranked.coalesce(1).write.mode("overwrite").partitionBy("__b").parquet(tmp)
     for i in range(3):
-        tmp = stage_dir("wcs_win_replay_tmp")
-        (ranked.filter(F.col("__b") == i).drop("__b")
-         .coalesce(1).write.mode("overwrite").parquet(tmp))
         dst = os.path.join(in_dir, f"batch-{i:02d}.parquet")
-        shutil.move(glob.glob(os.path.join(tmp, "part-*.parquet"))[0], dst)
+        shutil.move(glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))[0],
+                    dst)
         os.utime(dst, (mtime + i, mtime + i))
     src = (spark.readStream
            .schema("ts timestamp, event_type string, value double")
            .option("maxFilesPerTrigger", 1).parquet(in_dir))
     qname = "wcs_win_replay_" + uuid.uuid4().hex[:8]
-    q = (stream_event_windows(src, window="1 hour", watermark="30 minutes")
-         .writeStream.format("memory").queryName(qname)
-         .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # State-store partitioning is fixed at the stream's FIRST run by
+    # spark.sql.shuffle.partitions; the session default (sized for the
+    # batch queries' scans) makes every one of the 4 microbatches pay that
+    # many state-store tasks for a bounded 3-file replay (measured 2.5x
+    # the stream wall). Parameterised per the scale rules: replay default
+    # 8, production streams size it to their cluster via env. The session
+    # conf is restored before returning.
+    n_state = int(os.environ.get("WCS_STREAM_SHUFFLE_PARTITIONS", "8"))
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n_state))
+        q = (stream_event_windows(src, window="1 hour", watermark="30 minutes")
+             .writeStream.format("memory").queryName(qname)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     micros = F.col("value_sum")  # integer micros; round(x,6) was identity
     half_up_4dp = (F.signum(micros)
                    * F.floor((F.abs(micros) + F.lit(50)) / 100)
