@@ -24,11 +24,16 @@ from . import dedup as D
 from . import text_quality as Q
 
 
-def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
-                  lang: str = "en", near_threshold: float = 0.5,
-                  prefix_len: int = 30,
-                  materialize: bool = True) -> DataFrame:
-    """(doc_id, text) -> curated (doc_id, n_tokens, quality, fingerprint).
+def curate_kept(docs: DataFrame, *, min_quality: float = 0.5,
+                lang: str = "en", near_threshold: float = 0.5,
+                prefix_len: int = 30,
+                materialize: bool = True) -> DataFrame:
+    """Everything in :func:`curate_corpus` EXCEPT the fingerprint stage:
+    the survivor rows (doc_id, text, n_tokens, quality, __toks) after the
+    quality/language funnel, exact prefix dedup and MinHash-LSH near-dup
+    removal. Exposed so consumers that only need the survivor SET (the
+    span-clean composition selects doc_ids and rejoins the raw text) skip
+    the per-doc fingerprint fold and its join entirely.
 
     Funnel: quality >= min_quality AND detected language == lang, then
     exact dedup on md5 of the first ``prefix_len`` chars (keep min
@@ -97,7 +102,18 @@ def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
         sv.select("doc_id", "text", "__toks"),
         threshold=near_threshold, tokens_col="__toks")
     dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    kept = sv.join(dropped, "doc_id", "left_anti")
+    return sv.join(dropped, "doc_id", "left_anti")
+
+
+def curate_corpus(docs: DataFrame, *, min_quality: float = 0.5,
+                  lang: str = "en", near_threshold: float = 0.5,
+                  prefix_len: int = 30,
+                  materialize: bool = True) -> DataFrame:
+    """(doc_id, text) -> curated (doc_id, n_tokens, quality, fingerprint):
+    :func:`curate_kept` plus the fingerprint of every kept doc."""
+    kept = curate_kept(docs, min_quality=min_quality, lang=lang,
+                       near_threshold=near_threshold, prefix_len=prefix_len,
+                       materialize=materialize)
     fp = Q.fingerprint(kept.select("doc_id", "__toks"), tokens_col="__toks")
     return (
         kept.select("doc_id", "n_tokens", "quality")

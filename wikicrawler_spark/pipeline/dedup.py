@@ -472,6 +472,13 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
         .select("doc_a", "doc_b", "start_a", "start_b", "len_tokens")
     )
     if verify:
+        # the verify stage fans the span table into TWO union branches
+        # (doc_a side, doc_b side) and Spark has no cross-branch subplan
+        # CSE: without a boundary the whole self-join + gaps-and-islands
+        # merge re-executes once per branch (seen in the r6 plan audit).
+        # The merged span table is tiny (pairs of maximal runs), so an
+        # eager localCheckpoint materializes it once for both branches.
+        spans = spans.localCheckpoint(eager=True)
         spans = _verify_token_spans(spans, df, id_col, text_col)
     return spans
 
@@ -510,7 +517,12 @@ def _verify_token_spans(spans: DataFrame, df: DataFrame, id_col: str,
         sides.join(toks, "id")
         .select(*key, digest.alias("__d"))
         .groupBy(*key)
-        .agg(F.count_distinct("__d").alias("__nd"), F.count("*").alias("__n"))
+        # count("__d"), not count(*): count_distinct ignores NULLs, so a
+        # span with one NULL-digest side (unreachable from the internal
+        # pipeline, but this is the collision-safety guard and also runs
+        # on forged input) must not pass with a single real digest
+        # (ADVICE r5). Requiring two NON-NULL digests closes it.
+        .agg(F.count_distinct("__d").alias("__nd"), F.count("__d").alias("__n"))
         .filter((F.col("__n") == 2) & (F.col("__nd") == 1))
         .select(*key)
     )

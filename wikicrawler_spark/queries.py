@@ -3490,11 +3490,14 @@ def q_span_clean_corpus(spark, sf_dir):
     curate funnel's already-staged output, so the span pipeline's two
     corpus scans read the (smaller) survivor table, never raw documents.
     One row per surviving doc: (doc_id, clean_text, n_tokens_removed)."""
-    from .pipeline.curate import curate_corpus
+    from .pipeline.curate import curate_kept
     from .staging import stage_dir
 
     docs = _docs_text(spark, sf_dir)
-    survivors = curate_corpus(docs).select("doc_id").join(docs, "doc_id")
+    # curate_kept, not curate_corpus: only the survivor SET matters here,
+    # so the per-doc fingerprint fold + its join are skipped (the rewrite
+    # re-joins the raw text anyway)
+    survivors = curate_kept(docs).select("doc_id").join(docs, "doc_id")
     # explicit staging boundary (the training_corpus pattern): the span
     # pipeline scans its input several times (shingle pass, verify pass,
     # rebuild) and Spark has no cross-branch subplan CSE — without the
