@@ -3578,138 +3578,105 @@ def queries() -> dict:
     # any query whose dependency fingerprint changed since its last green
     # driver round must sit inside the window, and (r5 age bound) any tail
     # query not driver-checked within 2 rounds rotates in regardless.
-    # Round-5 window = round 4's window minus three stable relational rows
-    # (rotated to the tail, r4-green, deps untouched) plus the three new
-    # r5 rows: stream_sessionize_replay, word_freq_treebank,
-    # sentence_sentiment; pii_scrub stays in-window (count semantics
-    # changed this round).
+    # Round-6 window = the 29 queries whose fingerprints changed in the
+    # r6 optimization pass (explode-guard fixes, simhash/CC/cosine/stream
+    # restructures, curate_kept split) + the 16 r3-stale rows the age
+    # bound forces in (VERDICT r5 #1; 6 of the 22 listed there also
+    # changed fingerprint and are counted in the 29) + 5 of the oldest
+    # r4 rows as fillers. Tail = 34 r5-green rows whose transitive deps
+    # are byte-identical to the r5 stamp.
     return {
-        # -- stale since r2: last driver check predates the r3 kernel memo
-        #    (container-fragment memo + whitespace parity, commit 74b1fa3) --
+        # -- r6 window: fingerprints changed by the optimization pass --
+        "word_freq": q_word_freq,
+        "argmax_freq": q_argmax_freq,
+        "bigram_collocations": q_bigram_collocations,
+        "trigram_collocations": q_trigram_collocations,
+        "most_similar_token": q_most_similar_token,
+        "markdown_docs": q_markdown_docs,
+        "word_freq_treebank": q_word_freq_treebank,
+        "autosearch_chain": q_autosearch_chain,
+        "chunk_documents": q_chunk_documents,
+        "curate_corpus": q_curate_corpus,
+        "training_corpus": q_training_corpus,
+        "stream_windows_replay": q_stream_windows_replay,
+        "duplicate_spans": q_duplicate_spans,
+        "duplicate_span_removal": q_duplicate_span_removal,
+        "span_clean_corpus": q_span_clean_corpus,
+        "semantic_dedup": q_semantic_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "simhash_near_dups": q_simhash_near_dups,
+        "dedup_clusters": q_dedup_clusters,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "lsh_ann_recall": q_lsh_ann_recall,
+        "ivf_ann_recall": q_ivf_ann_recall,
+        "embedding_near_dups": q_embedding_near_dups,
+        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
+        "embedding_near_dups_recall": q_embedding_near_dups_recall,
+        # -- r6 window: r3-stale rows the age bound rotates in (deps
+        #    unchanged; fresh driver rows re-green them) --
+        "asof_login_value": q_asof_login_value,
+        "bm25_search": q_bm25_search,
+        "contamination_check": q_contamination,
+        "cube_lineitem": q_cube_lineitem,
+        "dedup_exact_prefix": q_dedup_exact_prefix,
+        "distinct_suppliers_per_part": q_distinct_suppliers_per_part,
+        "events_sessionize": q_events_sessionize,
+        "mix_weights": q_mix_weights,
+        "pack_sequences": q_pack_sequences,
+        "pagerank_orders": q_pagerank,
+        "pivot_linestatus": q_pivot_linestatus,
+        "set_ops_customers": q_set_ops_customers,
+        "sketch_accuracy": q_sketch_accuracy,
+        "stratified_sample": q_stratified_sample,
+        "tpch_q1": q_tpch_q1,
+        "value_percentiles": q_value_percentiles,
+        # -- r6 window fillers: the 5 oldest r4 rows, freshened early --
+        "upsert_latest": q_upsert_latest,
+        "media_audio": q_media_audio,
+        "media_frames": q_media_frames,
+        "orders_by_nation": q_orders_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        # ---- 50-entry gate window ends here ----
+        # -- tail: r5-green, transitive deps byte-identical to the r5
+        #    stamp (enforced by the dep-fingerprint guard test) --
         "extract_headings": q_extract_headings,
         "extract_wikitables": q_extract_wikitables,
         "span_offsets_dense": q_span_offsets_dense,
         "media_manifest": q_media_manifest,
         "page_view": q_page_view_scalars,
-        "markdown_docs": q_markdown_docs,
         "extract_toc": q_extract_toc,
         "extract_see_also": q_extract_see_also,
         "extract_references": q_extract_references,
         "extract_categories": q_extract_categories,
         "validate_doc_ids": q_validate_doc_ids,
-        # -- changed in round 4 (repetition one-pass plan, training_corpus
-        #    explicit materialization boundary, latexconv nested matrices,
-        #    pii_scrub count semantics, tokenizer backend wiring) --
-        "training_corpus": q_training_corpus,
         "repetition_scores": q_repetition_scores,
         "pii_scrub": q_pii_scrub,
         "latex_paragraphs": q_latex_paragraphs,
-        "curate_corpus": q_curate_corpus,
-        "chunk_documents": q_chunk_documents,
         "token_counts": q_token_counts,
         "quality_scores": q_quality_scores,
         "language_id": q_language_id,
         "fingerprint": q_fingerprint,
-        # -- tokenizer-adjacent (vendored Treebank backend lands in r4) --
-        "word_freq": q_word_freq,
-        "argmax_freq": q_argmax_freq,
-        "bigram_collocations": q_bigram_collocations,
-        "trigram_collocations": q_trigram_collocations,
         "sentence_slices": q_sentence_slices,
-        "most_similar_token": q_most_similar_token,
-        # -- kernel/extraction headline --
         "extract_titles": q_extract_titles,
         "extract_paragraphs": q_extract_paragraphs,
         "extract_link_counts": q_extract_link_counts,
         "search_direct": q_search_direct,
-        # -- new in round 4: grouping-set + window-function breadth,
-        #    disambiguation/search-result kernel rules (E10-E12) --
         "rollup_orders": q_rollup_orders,
         "events_user_deltas": q_events_user_deltas,
         "extract_disambig_links": q_extract_disambig_links,
         "extract_search_links": q_extract_search_links,
-        "autosearch_chain": q_autosearch_chain,
-        # -- new in round 5: the streaming plane's driver rows (stateful
-        #    sessionize replay + watermark-bounded dedup replay), and the
-        #    vendored-Treebank opt-in parity row (tokenizer policy: default
-        #    stays the native regex spec; see q_word_freq_treebank) --
         "stream_sessionize_replay": q_stream_sessionize_replay,
         "stream_dedup_replay": q_stream_dedup_replay,
-        "stream_windows_replay": q_stream_windows_replay,
-        "word_freq_treebank": q_word_freq_treebank,
         "sentence_sentiment": q_sentence_sentiment,
-        # -- new in round 5 (second half): substring-level exact dedup
-        #    (Lee et al. 2021 capability as a bounded shingle equi-join)
-        #    plus the corpus rewrite that consumes it, SemDeDup-style
-        #    survivor set over the oracled LSH blocking, and TPC-H
-        #    Q3/Q5/Q6 shapes (top-k join funnel, multi-way star join,
-        #    pushdown probe) --
-        "duplicate_spans": q_duplicate_spans,
-        "duplicate_span_removal": q_duplicate_span_removal,
-        "span_clean_corpus": q_span_clean_corpus,
-        "semantic_dedup": q_semantic_dedup,
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "tpch_q6": q_tpch_q6,
-        # -- r3-green, kept in-window to fill to 50 --
         "pdf_layout_spans": q_pdf_layout_spans,
-        # -- new in round 4: multimodal decode plane, driver-oracled --
         "media_decode": q_media_decode,
-        # ---- 50-entry gate window ends here ----
-        # -- r4-green, deps untouched in r5: rotated out to make window
-        #    room for the second and third streaming rows
-        #    (stream_dedup_replay, stream_windows_replay) and (second half)
-        #    for duplicate_spans/duplicate_span_removal/semantic_dedup/
-        #    tpch_q3/tpch_q5/tpch_q6 (fingerprints re-verified against the
-        #    r4-closeout tree before each rotation) --
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "lsh_ann_recall": q_lsh_ann_recall,
-        "ivf_ann_recall": q_ivf_ann_recall,
-        "embedding_near_dups_recall": q_embedding_near_dups_recall,
-        "embedding_near_dups_lsh": q_embedding_near_dups_lsh,
-        # -- r4-green, deps untouched since the r4 stamp (re-verified
-        #    against the r4 manifest before rotation): rotated out to make
-        #    window room for span_clean_corpus; the exact/LSH/recall
-        #    siblings above keep the embedding family driver-fresh --
-        "embedding_near_dups": q_embedding_near_dups,
-        "media_frames": q_media_frames,
-        "media_audio": q_media_audio,
-        # -- tail: green in BOTH r2 and r3 driver runs, transitive deps
-        #    untouched in round 4 (enforced by the dep-fingerprint guard
-        #    test; tpch_q1/pagerank_orders/dedup_exact_prefix/
-        #    ngram_jaccard/minhash_signatures/simhash/simhash_near_dups
-        #    rotated out to make window room for the seven new r4
-        #    queries: three media + rollup + window-deltas + the two
-        #    disambig/search link extractions) --
-        # -- r4-green, deps untouched in r5: rotated out to make window
-        #    room for the three new r5 rows (stream replay, treebank
-        #    parity, sentence sentiment) --
-        "top_orders_per_customer": q_top_orders_per_customer,
-        "orders_by_nation": q_orders_by_nation,
-        "upsert_latest": q_upsert_latest,
-        "tpch_q1": q_tpch_q1,
-        "pagerank_orders": q_pagerank,
-        "dedup_exact_prefix": q_dedup_exact_prefix,
-        "ngram_jaccard": q_ngram_jaccard,
-        "minhash_signatures": q_minhash_signatures,
-        "simhash": q_simhash,
-        "simhash_near_dups": q_simhash_near_dups,
-        "cosine_topk": q_cosine_topk,
-        "cube_lineitem": q_cube_lineitem,
-        "pivot_linestatus": q_pivot_linestatus,
-        "set_ops_customers": q_set_ops_customers,
-        "distinct_suppliers_per_part": q_distinct_suppliers_per_part,
-        "asof_login_value": q_asof_login_value,
-        "value_percentiles": q_value_percentiles,
-        "events_sessionize": q_events_sessionize,
-        "sketch_accuracy": q_sketch_accuracy,
-        "dedup_clusters": q_dedup_clusters,
-        "stratified_sample": q_stratified_sample,
-        "mix_weights": q_mix_weights,
-        "pack_sequences": q_pack_sequences,
-        "contamination_check": q_contamination,
-        "bm25_search": q_bm25_search,
     }
 
 
