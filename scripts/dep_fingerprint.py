@@ -100,6 +100,26 @@ def _const_repr(v) -> str:
     return _canon(v) if _contains_set(v) else repr(v)
 
 
+#: Module-level RUNTIME MEMO caches: mutable dicts that fill as the kernel
+#: runs but are empty at import. Their contents are execution state, not
+#: code — hashing the live value made a query's fingerprint depend on what
+#: ELSE ran in the process (found in r6: the in-suite guard test computed
+#: different fingerprints than a fresh process once earlier tests had
+#: exercised the tokenizer). Record them at their import-time EMPTY state,
+#: which is byte-identical to what every fresh-process manifest stamp
+#: recorded, so existing manifest hashes stay valid.
+_RUNTIME_CACHES = {
+    ("wikicrawler_spark.html_tokenizer", "_ATTRS_CACHE"),
+    ("wikicrawler_spark.html_tokenizer", "_FRAG_MEMO"),
+}
+
+
+def _const_record(modname: str, attr: str, v) -> str:
+    if (modname, attr) in _RUNTIME_CACHES:
+        return _const_repr(type(v)())
+    return _const_repr(v)
+
+
 def _all_names(code) -> set:
     """co_names of a code object plus all nested code objects (lambdas,
     comprehensions, inner defs)."""
@@ -190,7 +210,7 @@ def _closure_records(root_fn) -> list:
                                              frozenset, bytes, list, dict,
                                              set)):
                             records[f"{v.__name__}:const:{attr}"] = \
-                                _const_repr(av)
+                                _const_record(v.__name__, attr, av)
                         else:
                             stack.append(av)
                 elif isinstance(v, (types.FunctionType, type)):
@@ -205,7 +225,8 @@ def _closure_records(root_fn) -> list:
                 elif isinstance(v, (str, int, float, bool, tuple, frozenset,
                                     bytes, list, dict, set)) \
                         and _in_pkg_module(g.get("__name__")):
-                    records[f"{g['__name__']}:const:{name}"] = _const_repr(v)
+                    records[f"{g['__name__']}:const:{name}"] = \
+                        _const_record(g["__name__"], name, v)
         elif isinstance(obj, type):
             if not _in_pkg_module(obj.__module__):
                 continue
