@@ -111,6 +111,8 @@ def _const_repr(v) -> str:
 _RUNTIME_CACHES = {
     ("wikicrawler_spark.html_tokenizer", "_ATTRS_CACHE"),
     ("wikicrawler_spark.html_tokenizer", "_FRAG_MEMO"),
+    # staging-dir ledger: fills with reserved paths as staging queries run
+    ("wikicrawler_spark.staging", "_STAGED"),
 }
 
 
