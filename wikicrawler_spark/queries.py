@@ -1779,7 +1779,7 @@ def q_training_corpus(spark, sf_dir):
     model-ready chunks, expressed so Catalyst sees every stage at once —
     and every stage is SQL-replayable, so the oracle recomputes the full
     chain from the raw documents table."""
-    from .pipeline.curate import curate_corpus
+    from .pipeline.curate import curate_kept
     from .staging import stage_dir
 
     spans = _flat(extract_spans(wrapped_docs(spark, sf_dir)))
@@ -1799,8 +1799,10 @@ def q_training_corpus(spark, sf_dir):
     stage = stage_dir("wcs_training_body")
     body.write.mode("overwrite").parquet(stage)
     body = spark.read.parquet(stage)
-    curated = curate_corpus(body)
-    kept = curated.select("doc_id").join(body, "doc_id")
+    # curate_kept, not curate_corpus: the chunk join consumes only the
+    # survivor id set, so the per-doc fingerprint fold + its join are
+    # skipped (same reasoning as q_span_clean_corpus)
+    kept = curate_kept(body).select("doc_id").join(body, "doc_id")
     return Q.chunk_documents(kept, chunk_tokens=32, overlap=8)
 
 
